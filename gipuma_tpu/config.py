@@ -1,0 +1,182 @@
+"""Algorithm configuration for the TPU-native Gipuma rebuild.
+
+Capability parity with the reference's ``AlgorithmParameters``
+(reference: algorithmparameters.h:19-85) plus the reference's compile-time
+kernel variants (gipuma.cu:25-38) expressed as runtime booleans — JIT
+specialization makes #ifdef-style variants unnecessary on TPU.
+
+All defaults mirror the reference defaults exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional
+
+
+class CostCombination(enum.IntEnum):
+    """Multi-view cost combination mode (reference: algorithmparameters.h:17)."""
+
+    ALL = 0
+    BEST_N = 1
+    ANGLE = 2  # parsed by the reference CLI but unimplemented on device
+    GOOD = 3
+
+
+class MatchingAlgorithm(enum.IntEnum):
+    """Photometric cost family (reference: algorithmparameters.h:5-14).
+
+    Only PM (bilaterally weighted color+gradient) and CENSUS exist on the
+    reference device path; the remaining enum values are parsed but dead
+    (SURVEY.md §2.2, "dead code" list).
+    """
+
+    PM = 0
+    CENSUS = 1
+
+
+# Reference: config.h:22 — per-view costs at or above this value are invalid.
+MAXCOST = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgorithmParams:
+    """All runtime tunables. Frozen so instances hash as JIT static args."""
+
+    # --- matching cost (reference defaults: algorithmparameters.h:21-51) ---
+    algorithm: MatchingAlgorithm = MatchingAlgorithm.PM
+    box_hsize: int = 19          # window width  (pixels)
+    box_vsize: int = 19          # window height (pixels)
+    tau_color: float = 10.0      # color difference truncation
+    tau_gradient: float = 2.0    # gradient difference truncation
+    alpha: float = 0.9           # color/gradient blend weight
+    gamma: float = 10.0          # bilateral weight falloff
+    window_increment: int = 2    # sample every k-th window pixel (gipuma.cu:28)
+    census_epsilon: float = 2.5
+
+    # --- cost aggregation over views ---
+    cost_comb: CostCombination = CostCombination.BEST_N
+    n_best: int = 2
+    good_factor: float = 1.5
+
+    # --- PatchMatch schedule ---
+    iterations: int = 8
+    # Propagation variants (reference compile-time EXTRAPOINT/EXTRAPOINTFAR,
+    # gipuma.cu:36-38). The default reference build is SMALLKERNEL: a
+    # close sweep (±1), a far sweep (±5), and a refinement sweep.
+    far_propagation: bool = True       # ±5 "surface normal diffusion" sweep
+    refine_delta_z_floor: float = 0.01  # gipuma.cu:959 loop lower bound
+    refine_delta_z_div: float = 10.0    # gipuma.cu:959 deltaZ shrink factor
+    refine_delta_n_init: float = 1.0    # gipuma.cu:945
+    refine_delta_n_div: float = 4.0     # gipuma.cu:992
+
+    # --- depth / disparity range ---
+    depth_min: float = -1.0  # -1 → derive from view-selection baselines
+    depth_max: float = -1.0
+    min_disparity: float = 0.0
+    max_disparity: float = 256.0
+
+    # --- view selection (reference: main.cpp:430-499) ---
+    view_selection: bool = True
+    min_angle: float = 5.0   # degrees
+    max_angle: float = 45.0  # degrees
+    max_views: int = 9
+
+    # --- misc ---
+    color_processing: bool = False
+    cam_scale: float = 1.0
+    no_texture_check: bool = False  # reference NOTEXTURE_CHECK (gipuma.cu:34)
+    no_texture_sim: float = 0.9
+    no_texture_per: float = 0.6
+    cost_thresh: float = 40.0  # validity threshold for outputs/fusion
+    seed: int = 0              # replaces curand clock64() seeding — deterministic
+
+    @property
+    def box_hrad(self) -> int:
+        return (self.box_hsize - 1) // 2
+
+    @property
+    def box_vrad(self) -> int:
+        return (self.box_vsize - 1) // 2
+
+    def window_offsets(self) -> list[tuple[int, int]]:
+        """Static list of sampled (dx, dy) window offsets.
+
+        Mirrors the reference double loop ``for i in [-hrad, hrad] step
+        WIN_INCREMENT`` (gipuma.cu:494-495,633-634).
+        """
+        xs = range(-self.box_hrad, self.box_hrad + 1, self.window_increment)
+        ys = range(-self.box_vrad, self.box_vrad + 1, self.window_increment)
+        return [(dx, dy) for dx in xs for dy in ys]
+
+    def refinement_schedule(self) -> list[tuple[float, float]]:
+        """(delta_z, delta_n) perturbation radii per refinement round.
+
+        Mirrors ``for deltaZ = max_disp/2; deltaZ >= 0.01; deltaZ /= 10``
+        with deltaN starting at 1.0 and dividing by 4 (gipuma.cu:945-993).
+        The schedule length is static given the disparity range.
+        """
+        out = []
+        delta_z = self.max_disparity / 2.0
+        delta_n = self.refine_delta_n_init
+        while delta_z >= self.refine_delta_z_floor:
+            out.append((delta_z, delta_n))
+            delta_z /= self.refine_delta_z_div
+            delta_n /= self.refine_delta_n_div
+        return out
+
+    def with_depth_range(self, depth_min: float, depth_max: float,
+                         f: float, baseline: float) -> "AlgorithmParams":
+        """Return params with depth range and the induced disparity range set.
+
+        Mirrors main.cpp:898-912: min_disparity = f*b/depthMax,
+        max_disparity = f*b/depthMin.
+        """
+        return dataclasses.replace(
+            self,
+            depth_min=depth_min,
+            depth_max=depth_max,
+            min_disparity=f * baseline / depth_max,
+            max_disparity=f * baseline / depth_min,
+        )
+
+    def replace(self, **kw) -> "AlgorithmParams":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Dataset presets — mirrors scripts/*.sh parameter sets (SURVEY.md §2.6).
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, AlgorithmParams] = {
+    # scripts/dino.sh:8-24 (Middlebury dino/temple family)
+    "middlebury": AlgorithmParams(
+        box_hsize=11, box_vsize=11, iterations=8, n_best=2,
+        depth_min=0.3, depth_max=0.8, view_selection=True,
+        min_angle=5.0, max_angle=45.0,
+    ),
+    # scripts/dtu_fast.sh:10-21
+    "dtu_fast": AlgorithmParams(
+        box_hsize=15, box_vsize=15, iterations=6, n_best=3,
+        depth_min=300.0, depth_max=800.0, view_selection=True,
+        min_angle=10.0, max_angle=30.0, max_views=9,
+    ),
+    # scripts/dtu_accurate.sh:10-20
+    "dtu_accurate": AlgorithmParams(
+        box_hsize=25, box_vsize=25, iterations=8, n_best=3,
+        depth_min=300.0, depth_max=800.0, view_selection=True,
+        min_angle=10.0, max_angle=30.0, max_views=2**31 - 1,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionParams:
+    """Consistency-fusion knobs; interface parity with out-of-tree fusibile
+    (scripts/dtu_fast.sh:24-26, scripts/dino.sh:20-22)."""
+
+    disp_thresh: float = 0.5
+    normal_thresh: float = 30.0   # degrees
+    num_consistent: int = 3
+    min_angle_degrees: float = 10.0  # unused placeholder for interface parity

@@ -1,0 +1,240 @@
+"""The PatchMatch multi-view stereo engine (flagship model).
+
+TPU-native rebuild of the reference's GPU core (gipuma.cu:996-1960):
+
+* random plane-field init            — gipuma_init_cu2        (gipuma.cu:996-1051)
+* checkerboard close propagation ±1  — spatialPropClose       (gipuma.cu:1471-1588)
+* checkerboard far propagation ±5    — spatialPropFar         (gipuma.cu:1353-1468)
+* plane refinement (perturbation)    — planeRefinement_cu     (gipuma.cu:928-994)
+* iteration schedule black/red x {close, far, refine}          (gipuma.cu:1911-1941)
+* final world-normal / depth output  — gipuma_compute_disp    (gipuma.cu:1080-1103)
+
+Design notes (deviations are deliberate TPU-first choices, documented):
+
+* State is functional: {planes [H,W,4], cost [H,W], key}.  Each sub-sweep
+  reads the arrays produced by the previous sub-sweep — exactly the
+  semantics the reference gets from separate kernel launches with
+  cudaDeviceSynchronize between them (gipuma.cu:1916-1936).  Within the far
+  sweep the reference has a benign read/write race on same-color neighbors;
+  we deterministically read pre-sweep values.
+* RNG is jax.random with per-(iteration, phase) folded keys instead of
+  curand seeded with clock64() (gipuma.cu:1019) — bitwise reproducible.
+* Random unit normals use normalized Gaussians (equivalent distribution to
+  the reference's Marsaglia rejection sampling, gipuma.cu:148-164, but
+  rejection-free and branch-free).
+* The iteration loop is a lax.scan — one compiled program regardless of
+  iteration count.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAXCOST, AlgorithmParams
+from ..geometry import transforms as T
+from ..ops import checkerboard as cb
+from ..ops.cost import ScenePack, combine_view_costs, multiview_cost, per_view_costs
+
+
+class PMState(NamedTuple):
+    """Mutable algorithm state — the LineState analog (linestate.h:8-30):
+    norm4 (nx, ny, nz, d) and per-pixel cost, plus the PRNG key."""
+
+    planes: jnp.ndarray   # [H, W, 4] = (nx, ny, nz, d)
+    cost: jnp.ndarray     # [H, W]
+    key: jnp.ndarray      # PRNG key
+
+
+# Propagation offsets as (dy, dx), in the reference's evaluation order
+# (up, down, left, right — gipuma.cu:1450-1462, 1569-1582).
+CLOSE_OFFSETS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+FAR_OFFSETS = ((-5, 0), (5, 0), (0, -5), (0, 5))
+
+
+def _active_coords(scene: ScenePack, parity: int):
+    h = scene.rays.shape[0]
+    w2 = scene.rays.shape[1] // 2
+    x = cb.active_x(h, w2, parity)
+    y = cb.active_y(h, w2)
+    return x, y
+
+
+def random_unit_hemisphere(key, view_vec: jnp.ndarray) -> jnp.ndarray:
+    """Random unit normals facing the camera (rndUnitVectorOnHemisphere_cu,
+    gipuma.cu:166-169); Gaussian-normalize instead of Marsaglia rejection."""
+    g = jax.random.normal(key, view_vec.shape, dtype=view_vec.dtype)
+    n = T.normalize(g, eps=1e-20)
+    return T.flip_to_hemisphere(n, view_vec)
+
+
+def init_state(scene: ScenePack, params: AlgorithmParams, key) -> PMState:
+    """Random init: uniform disparity -> depth, random hemisphere normal,
+    plane distance, initial multiview cost (gipuma_init_cu2)."""
+    h, w = scene.rays.shape[:2]
+    x, y = T.pixel_grid(h, w)
+    k_disp, k_norm, key = jax.random.split(key, 3)
+
+    disp = jax.random.uniform(
+        k_disp, (h, w), minval=params.min_disparity, maxval=params.max_disparity)
+    depth = T.disparity_depth(scene.f, scene.baseline, disp)
+    n = random_unit_hemisphere(k_norm, scene.view_vec)
+    d = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n, x, y, depth)
+    planes = jnp.concatenate([n, d[..., None]], axis=-1)
+
+    cost = jnp.zeros((h, w), planes.dtype)
+    for parity in (0, 1):
+        np_, dp_ = cb.extract(n, parity), cb.extract(d, parity)
+        c = multiview_cost(scene, params, parity, np_, dp_)
+        cost = cb.interleave(cost, c, parity)
+    return PMState(planes=planes, cost=cost, key=key)
+
+
+def _fold_better(scene, params, parity, x, y,
+                 cand_n, cand_d, cand_ok,
+                 n_now, d_now, c_now):
+    """Sequentially accept strictly-better candidates (spatialPropagation_cu,
+    gipuma.cu:832-874): compute each candidate's multiview cost, accept when
+    cost < current AND the induced depth is inside [depthMin, depthMax].
+
+    Costs are candidate-independent of the running best, so they are
+    evaluated as one vmapped batch (single trace, K-batched ops) and only
+    the accept fold is sequential — same result as the reference's
+    candidate-by-candidate loop, first-minimum tie-breaking included."""
+    ck_all = jax.vmap(
+        lambda nk, dk: multiview_cost(scene, params, parity, nk, dk)
+    )(cand_n, cand_d)
+    depth_all = T.depth_from_plane(cand_n, cand_d, x, y, scene.fx, scene.cx,
+                                   scene.cy, scene.alpha_focal)
+    for k in range(cand_n.shape[0]):
+        nk, dk, okk, ck = cand_n[k], cand_d[k], cand_ok[k], ck_all[k]
+        depth_k = depth_all[k]
+        in_range = (depth_k >= scene.depth_min) & (depth_k <= scene.depth_max)
+        accept = okk & in_range & (ck < c_now)
+        n_now = jnp.where(accept[..., None], nk, n_now)
+        d_now = jnp.where(accept, dk, d_now)
+        c_now = jnp.where(accept, ck, c_now)
+    return n_now, d_now, c_now
+
+
+def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
+                      parity: int, offsets) -> PMState:
+    """One checkerboard propagation sub-sweep over the given neighbor offsets."""
+    h, w = state.cost.shape
+    w2 = w // 2
+    x, y = _active_coords(scene, parity)
+
+    pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    planes_eo = cb.PaddedEO.build(state.planes, pad, pad + 2)
+
+    cand_n, cand_d, cand_ok = [], [], []
+    for dy, dx in offsets:
+        cand = planes_eo.shifted(dy, dx, parity)             # [H, W2, 4]
+        cand_n.append(cand[..., :3])
+        cand_d.append(cand[..., 3])
+        ok = ((y + dy >= 0) & (y + dy <= h - 1) &
+              (x + dx >= 0) & (x + dx <= w - 1))
+        cand_ok.append(ok)
+    cand_n = jnp.stack(cand_n)
+    cand_d = jnp.stack(cand_d)
+    cand_ok = jnp.stack(cand_ok)
+
+    n_now = cb.extract(state.planes[..., :3], parity)
+    d_now = cb.extract(state.planes[..., 3], parity)
+    c_now = cb.extract(state.cost, parity)
+
+    n_now, d_now, c_now = _fold_better(
+        scene, params, parity, x, y, cand_n, cand_d, cand_ok,
+        n_now, d_now, c_now)
+
+    planes = cb.interleave(
+        state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
+    cost = cb.interleave(state.cost, c_now, parity)
+    return PMState(planes=planes, cost=cost, key=state.key)
+
+
+def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
+                     parity: int) -> PMState:
+    """Plane refinement: exponential perturbation schedule in disparity space
+    (planeRefinement_cu + getRndDispAndUnitVector_cu, gipuma.cu:890-994)."""
+    x, y = _active_coords(scene, parity)
+    view_vec = cb.extract(scene.view_vec, parity)
+
+    n_now = cb.extract(state.planes[..., :3], parity)
+    d_now = cb.extract(state.planes[..., 3], parity)
+    c_now = cb.extract(state.cost, parity)
+    depth_now = T.depth_from_plane(n_now, d_now, x, y, scene.fx, scene.cx,
+                                   scene.cy, scene.alpha_focal)
+
+    schedule = params.refinement_schedule()
+    key = state.key
+    for (delta_z, delta_n) in schedule:       # static unroll (<= ~5 rounds)
+        key, kz, kn = jax.random.split(key, 3)
+        disp = T.disparity_depth(scene.f, scene.baseline, depth_now)
+        # Perturbation interval limited by the disparity range
+        # (gipuma.cu:906-916).
+        min_delta = -jnp.minimum(delta_z, params.min_disparity + disp)
+        max_delta = jnp.minimum(delta_z, params.max_disparity - disp)
+        u = jax.random.uniform(kz, disp.shape, dtype=disp.dtype)
+        disp_new = disp + min_delta + u * (max_delta - min_delta)
+        disp_new = jnp.clip(disp_new, params.min_disparity, params.max_disparity)
+        depth_new = T.disparity_depth(scene.f, scene.baseline, disp_new)
+
+        jitter = jax.random.uniform(kn, n_now.shape, dtype=n_now.dtype,
+                                    minval=-delta_n, maxval=delta_n)
+        n_new = T.normalize(n_now + jitter, eps=1e-20)
+        n_new = T.flip_to_hemisphere(n_new, view_vec)
+        d_new = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_new, x, y,
+                                   depth_new)
+
+        c_new = multiview_cost(scene, params, parity, n_new, d_new)
+        accept = c_new < c_now
+        n_now = jnp.where(accept[..., None], n_new, n_now)
+        d_now = jnp.where(accept, d_new, d_now)
+        depth_now = jnp.where(accept, depth_new, depth_now)
+        c_now = jnp.where(accept, c_new, c_now)
+
+    planes = cb.interleave(
+        state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
+    cost = cb.interleave(state.cost, c_now, parity)
+    return PMState(planes=planes, cost=cost, key=key)
+
+
+def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams) -> PMState:
+    """One full PatchMatch iteration: black {close, far, refine} then red
+    {close, far, refine} (gipuma.cu:1911-1941, SMALLKERNEL schedule)."""
+    for parity in (0, 1):  # 0 = black, 1 = red
+        state = propagation_sweep(state, scene, params, parity, CLOSE_OFFSETS)
+        if params.far_propagation:
+            state = propagation_sweep(state, scene, params, parity, FAR_OFFSETS)
+        state = refinement_sweep(state, scene, params, parity)
+    return state
+
+
+def run_patchmatch(scene: ScenePack, params: AlgorithmParams, key) -> PMState:
+    """Init + `params.iterations` iterations as a lax.scan (jit-friendly)."""
+    state = init_state(scene, params, key)
+
+    def step(s, _):
+        return iteration(s, scene, params), None
+
+    state, _ = jax.lax.scan(step, state, None, length=params.iterations)
+    return state
+
+
+def finalize(state: PMState, scene: ScenePack) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World-frame normals + depth map (gipuma_compute_disp,
+    gipuma.cu:1080-1103).  Returns (depth [H,W], normals_world [H,W,3],
+    cost [H,W]); depth is 0 where the pixel never found a valid view."""
+    h, w = state.cost.shape
+    x, y = T.pixel_grid(h, w)
+    n = state.planes[..., :3]
+    d = state.planes[..., 3]
+    depth = T.depth_from_plane(n, d, x, y, scene.fx, scene.cx, scene.cy,
+                               scene.alpha_focal)
+    depth = jnp.where(state.cost != MAXCOST, depth, 0.0)
+    n_world = jnp.einsum("ij,hwj->hwi", scene.R_orig_inv, n)
+    return depth, n_world, state.cost

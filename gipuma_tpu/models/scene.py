@@ -1,0 +1,113 @@
+"""ScenePack construction: images + calibration -> device-ready cost inputs.
+
+The TPU analog of the reference's texture upload + GlobalState wiring
+(main.cpp:509-656, 829-933): instead of CUDA texture objects we precompute
+per-view gradient channels (exactly equivalent to the reference's
+central-difference texture fetches — see ops/sampling.py) and pack
+everything into a single pytree.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlgorithmParams
+from ..geometry import transforms as T
+from ..geometry.camera import Rig, rig_to_cameraset
+from ..ops import checkerboard as cb
+from ..ops.cost import ScenePack
+from ..ops.sampling import central_gradients
+
+
+def ensure_even_width(img: np.ndarray) -> np.ndarray:
+    """Pad odd-width images by one edge-replicated column (checkerboard
+    layout needs even W; outputs are cropped back by the pipeline)."""
+    if img.shape[1] % 2 == 1:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+    return img
+
+
+def build_scene(images: Sequence[np.ndarray], rig: Rig,
+                view_subset: Sequence[int], params: AlgorithmParams,
+                depth_min: float, depth_max: float,
+                dtype=jnp.float32) -> ScenePack:
+    """Pack reference image (index 0) + selected source views.
+
+    images: list of [H, W] or [H, W, C] float arrays (intensity scale 0-255,
+    matching the reference's CV_32F grayscale conversion, main.cpp:741-751).
+    view_subset: indices into `images`/rig.cameras (excluding 0).
+    """
+    ref = np.asarray(images[0], dtype=np.float32)
+    if ref.ndim == 2:
+        ref = ref[..., None]
+    h, w = ref.shape[:2]
+    assert w % 2 == 0, "width must be even — use ensure_even_width"
+    C = ref.shape[2]
+
+    cams = rig_to_cameraset(rig)
+
+    # Reference channels, padded for checkerboard window access.
+    ref_j = jnp.asarray(ref, dtype=dtype)
+    gx, gy = central_gradients(jnp.moveaxis(ref_j, -1, 0))
+    gx = jnp.moveaxis(gx, 0, -1)
+    gy = jnp.moveaxis(gy, 0, -1)
+    pr = params.box_vrad
+    pc = params.box_hrad + 2
+    ref_img_eo = cb.PaddedEO.build(ref_j, pr, pc)
+    ref_gx_eo = cb.PaddedEO.build(gx, pr, pc)
+    ref_gy_eo = cb.PaddedEO.build(gy, pr, pc)
+
+    # Source views: packed (img, gx, gy) channels.
+    src_list, A_list, b_list = [], [], []
+    for v in view_subset:
+        img = np.asarray(images[v], dtype=np.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+        assert img.shape[:2] == (h, w), "all views must share the image size"
+        img_j = jnp.asarray(img, dtype=dtype)
+        vgx, vgy = central_gradients(jnp.moveaxis(img_j, -1, 0))
+        src_list.append(jnp.concatenate(
+            [img_j, jnp.moveaxis(vgx, 0, -1), jnp.moveaxis(vgy, 0, -1)], axis=-1))
+        cam = rig.cameras[v]
+        A, b = T.warp_coefficients(cam.K, cam.R, cam.t)
+        A_list.append(A)
+        b_list.append(b)
+
+    src = jnp.stack(src_list)                       # [V, H, W, 3C]
+    A = jnp.asarray(np.stack(A_list), dtype=dtype)  # [V, 3, 3]
+    b = jnp.asarray(np.stack(b_list), dtype=dtype)  # [V, 3]
+
+    ref_cam = rig.cameras[0]
+    K1_inv = jnp.asarray(ref_cam.K_inv, dtype=dtype)
+    x, yg = T.pixel_grid(h, w, dtype)
+    rays = T.pixel_rays(K1_inv, x, yg)
+    M_inv = jnp.asarray(ref_cam.M_inv, dtype=dtype)
+    P_col4 = jnp.asarray(ref_cam.P_col4, dtype=dtype)
+    C_ref = jnp.asarray(ref_cam.C, dtype=dtype)
+    view_vec = T.view_vectors(M_inv, P_col4, C_ref, x, yg)
+
+    return ScenePack(
+        ref_img=ref_img_eo,
+        ref_gx=ref_gx_eo,
+        ref_gy=ref_gy_eo,
+        src=src,
+        A=A,
+        b=b,
+        k1inv_c0=K1_inv[:, 0],
+        k1inv_c1=K1_inv[:, 1],
+        rays=rays,
+        view_vec=view_vec,
+        fx=jnp.asarray(rig.f, dtype=dtype),
+        cx=jnp.asarray(ref_cam.K[0, 2], dtype=dtype),
+        cy=jnp.asarray(ref_cam.K[1, 2], dtype=dtype),
+        alpha_focal=jnp.asarray(rig.alpha, dtype=dtype),
+        f=jnp.asarray(rig.f, dtype=dtype),
+        baseline=jnp.asarray(rig.baseline, dtype=dtype),
+        M_inv=M_inv,
+        P_col4=P_col4,
+        R_orig_inv=jnp.asarray(ref_cam.R_orig_inv, dtype=dtype),
+        depth_min=jnp.asarray(depth_min, dtype=dtype),
+        depth_max=jnp.asarray(depth_max, dtype=dtype),
+    )

@@ -1,0 +1,82 @@
+"""Image sampling ops.
+
+TPUs have no texture units, so the reference's hardware bilinear ``tex2D``
+fetches (main.cpp:560-656 texture setup; used throughout gipuma.cu cost
+functions) become explicit gathers + lerp here.  Edge behavior is
+clamp-to-edge, matching what CUDA does for unnormalized coordinates.
+
+Gradient sampling note: the reference computes source-image gradients as
+central differences of bilinear texture fetches (gipuma.cu:251-252,303-306).
+Because bilinear interpolation and central differencing are both linear,
+bilinearly sampling a precomputed central-difference image yields *exactly*
+the same values — so we precompute per-view gradient images once and sample
+them, trading 5 texture fetches per sample for 3 gathers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def central_gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """gx[y,x] = I[y,x+1] - I[y,x-1] (clamped at edges), same for gy.
+
+    Matches tex2D central differences with clamp addressing
+    (gipuma.cu:303-306). img: [..., H, W] -> (gx, gy) same shape.
+    """
+    right = jnp.concatenate([img[..., :, 1:], img[..., :, -1:]], axis=-1)
+    left = jnp.concatenate([img[..., :, :1], img[..., :, :-1]], axis=-1)
+    down = jnp.concatenate([img[..., 1:, :], img[..., -1:, :]], axis=-2)
+    up = jnp.concatenate([img[..., :1, :], img[..., :-1, :]], axis=-2)
+    return right - left, down - up
+
+
+def bilinear_sample_slicegather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Slice-size-(2,2) lax.gather bilinear variant.
+
+    Kept only for benchmarking — measured far slower than `bilinear_sample`
+    on TPU v5e.
+    """
+    H, W, C = img.shape
+    x = jnp.clip(x, 0.0, W - 1.000001)
+    y = jnp.clip(y, 0.0, H - 1.000001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    idx = jnp.stack([y0.astype(jnp.int32), x0.astype(jnp.int32)], axis=-1)
+    flat_idx = idx.reshape(-1, 2)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1))
+    patches = lax.gather(img, flat_idx, dn, slice_sizes=(2, 2, C),
+                         mode=lax.GatherScatterMode.CLIP)
+    patches = patches.reshape(x.shape + (2, 2, C))
+    top = patches[..., 0, 0, :] * (1 - fx) + patches[..., 0, 1, :] * fx
+    bot = patches[..., 1, 0, :] * (1 - fx) + patches[..., 1, 1, :] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly sample img[H, W, C] at float coords; clamp to edge.
+
+    Uses 4 flat `take` gathers (measured ~30x faster than a 2x2
+    slice-size lax.gather on TPU v5e).  x, y: any matching shape.
+    Returns [..., C].
+    """
+    H, W, C = img.shape
+    x = jnp.clip(x, 0.0, W - 1.000001)
+    y = jnp.clip(y, 0.0, H - 1.000001)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    flat = img.reshape(H * W, C)
+    i00 = y0 * W + x0
+    v00 = jnp.take(flat, i00, axis=0)
+    v01 = jnp.take(flat, i00 + 1, axis=0)
+    v10 = jnp.take(flat, i00 + W, axis=0)
+    v11 = jnp.take(flat, i00 + W + 1, axis=0)
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy

@@ -1,0 +1,158 @@
+"""End-to-end depth-map pipeline — the runGipuma analog (main.cpp:694-1199).
+
+One call = one reference view: load images + calibration, select views,
+derive ranges, run PatchMatch, write outputs (dmb/ply/png + results.txt).
+Unlike the reference's process-per-view scripting (scripts/dino.sh:28-51),
+`run_batch` keeps everything resident and loops reference views in-process;
+the sharded scheduler in parallel/ distributes them across chips.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from .config import AlgorithmParams, PRESETS
+from .geometry.camera import FAKE_BASELINE, build_rig
+from .io import calib as calib_io
+from .io import dmb as dmb_io
+from .io import vis as vis_io
+from .io.images import load_image
+from .io.ply import write_ply
+from .models.patchmatch import finalize, run_patchmatch
+from .models.scene import build_scene, ensure_even_width
+from .select import select_views
+
+
+@dataclasses.dataclass
+class RunResult:
+    depth: np.ndarray        # [H, W]
+    normals: np.ndarray      # [H, W, 3] world frame
+    cost: np.ndarray         # [H, W]
+    view_subset: list[int]
+    depth_min: float
+    depth_max: float
+    runtime_s: float
+    ref_name: str = ""
+
+
+def compute_depthmap(images: Sequence[np.ndarray],
+                     P_matrices: Sequence[np.ndarray],
+                     params: AlgorithmParams,
+                     image_names: Sequence[str] | None = None,
+                     ref_index: int = 0) -> RunResult:
+    """Compute the depth map for one reference view.
+
+    images/P_matrices are for all cameras; `ref_index` selects the reference
+    (the reference binary requires the caller to put it first — we swap
+    internally, like the --camera_idx pmvs path, main.cpp:409-421).
+    """
+    order = [ref_index] + [i for i in range(len(images)) if i != ref_index]
+    images = [np.asarray(images[i], dtype=np.float32) for i in order]
+    Ps = [np.asarray(P_matrices[i]) for i in order]
+    names = ([image_names[i] for i in order]
+             if image_names else [f"cam{i:03d}" for i in order])
+
+    orig_w = images[0].shape[1]
+    images = [ensure_even_width(im) for im in images]
+    h, w = images[0].shape[:2]
+
+    rig = build_rig(Ps, names, cam_scale=params.cam_scale)
+    subset, depth_min, depth_max = select_views(rig, orig_w, h, params,
+                                                seed=params.seed)
+    if not subset:
+        raise ValueError("view selection produced an empty subset — "
+                         "relax min/max angle or disable view_selection")
+    params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
+
+    scene = build_scene(images, rig, subset, params, depth_min, depth_max)
+    key = jax.random.PRNGKey(params.seed)
+
+    t0 = time.perf_counter()
+    state = run_patchmatch(scene, params, key)
+    depth, normals, cost = finalize(state, scene)
+    depth = np.asarray(jax.block_until_ready(depth))
+    runtime = time.perf_counter() - t0
+
+    normals = np.asarray(normals)
+    cost = np.asarray(cost)
+    if w != orig_w:  # crop the even-width padding
+        depth = depth[:, :orig_w]
+        normals = normals[:, :orig_w]
+        cost = cost[:, :orig_w]
+
+    return RunResult(depth=depth, normals=normals, cost=cost,
+                     view_subset=subset, depth_min=depth_min,
+                     depth_max=depth_max, runtime_s=runtime,
+                     ref_name=names[0])
+
+
+def write_outputs(result: RunResult, out_dir: str | os.PathLike,
+                  params: AlgorithmParams,
+                  ref_image: np.ndarray | None = None,
+                  P_ref: np.ndarray | None = None) -> None:
+    """disp.dmb + normals.dmb + PNGs + PLY + results.txt — the reference's
+    output set (main.cpp:987-1031, fileIoUtils.h:183-245)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    dmb_io.write_dmb(out / "disp.dmb", result.depth)
+    dmb_io.write_dmb(out / "normals.dmb", result.normals)
+
+    vis_io.save_png(out / "disp.png",
+                    vis_io.depth_to_jet(result.depth, result.depth_min,
+                                        result.depth_max))
+    vis_io.save_png(out / "normals.png", vis_io.normals_png(result.normals))
+    vis_io.save_png(out / "cost.png", vis_io.cost_to_gray(result.cost, 100.0))
+
+    if ref_image is not None and P_ref is not None:
+        write_ply(out / f"3d_model_{result.ref_name}.ply", result.depth,
+                  result.normals, ref_image, P_ref)
+
+    # results.txt provenance log (fileIoUtils.h:183-245 capability).
+    n_px = result.depth.size
+    lines = {
+        "ref_name": result.ref_name,
+        "runtime_s": round(result.runtime_s, 4),
+        "runtime_us_per_pixel": round(result.runtime_s * 1e6 / n_px, 4),
+        "selected_views": result.view_subset,
+        "depth_min": result.depth_min,
+        "depth_max": result.depth_max,
+        "params": {k: (v.name if hasattr(v, "name") else v)
+                   for k, v in dataclasses.asdict(params).items()},
+    }
+    with open(out / "results.txt", "a") as f:
+        f.write(json.dumps(lines, indent=2) + "\n")
+
+
+def run_batch(image_paths: Sequence[str], params: AlgorithmParams,
+              results_root: str | os.PathLike,
+              p_folder: str | None = None, krt_file: str | None = None,
+              calib_file: str | None = None, pmvs_folder: str | None = None,
+              ref_indices: Sequence[int] | None = None,
+              color: bool = False) -> list[RunResult]:
+    """Loop reference views in-process (replaces scripts/*.sh shell loops)."""
+    names = [Path(p).name for p in image_paths]
+    Ps = calib_io.load_projection_matrices(
+        names, p_folder=p_folder, krt_file=krt_file,
+        calib_file=calib_file, pmvs_folder=pmvs_folder)
+    images = [load_image(p, color=color) for p in image_paths]
+    if ref_indices is None:
+        ref_indices = range(len(images))
+
+    results = []
+    root = Path(results_root)
+    for ref in ref_indices:
+        res = compute_depthmap(images, Ps, params, names, ref_index=ref)
+        out_dir = root / f"{Path(names[ref]).stem}"
+        write_outputs(res, out_dir, params, ref_image=images[ref],
+                      P_ref=build_rig([Ps[ref]] + [Ps[i] for i in range(len(Ps)) if i != ref],
+                                      rebase=True).cameras[0].P)
+        results.append(res)
+    return results

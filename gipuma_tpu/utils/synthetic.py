@@ -1,0 +1,112 @@
+"""Synthetic calibrated scenes with analytic ground truth.
+
+The reference has no tests (SURVEY.md §4); its correctness oracle was manual
+GT evaluation.  We build a proper pyramid instead, starting from scenes where
+the exact depth map is known analytically: textured 3D planes rendered into
+N calibrated views.  A correct PatchMatch must (a) give near-zero cost to the
+true plane and (b) recover the depth map from random init.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.camera import Rig, build_rig
+
+
+def look_at_R(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World->camera rotation for a camera at `eye` looking at `target`."""
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, -1.0, 0.0])
+    if abs(np.dot(up, z)) > 0.99:
+        up = np.array([1.0, 0.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=0)
+
+
+def make_ring_P(num_cams: int, h: int, w: int, focal: float,
+                radius: float = 0.4, target_depth: float = 5.0,
+                jitter: float = 0.0, rng=None) -> list[np.ndarray]:
+    """Projection matrices for a small ring of inward-looking cameras.
+
+    Camera 0 sits at the origin looking +z; the others are spread on an arc
+    around it, all aimed at (0, 0, target_depth)."""
+    rng = rng or np.random.default_rng(0)
+    K = np.array([[focal, 0.0, w / 2.0],
+                  [0.0, focal, h / 2.0],
+                  [0.0, 0.0, 1.0]])
+    target = np.array([0.0, 0.0, target_depth])
+    Ps = []
+    for i in range(num_cams):
+        if i == 0:
+            eye = np.zeros(3)
+        else:
+            ang = 2.0 * np.pi * (i - 1) / max(num_cams - 1, 1)
+            eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 0.0])
+            if jitter:
+                eye = eye + rng.normal(scale=jitter, size=3)
+        R = look_at_R(eye, target)
+        t = -R @ eye
+        Ps.append(K @ np.hstack([R, t[:, None]]))
+    return Ps
+
+
+def texture_fn(X: np.ndarray) -> np.ndarray:
+    """Smooth analytic texture over 3D points [..., 3] -> intensity 0..255.
+
+    Low-frequency so that bilinear resampling error stays small in tests."""
+    x, y = X[..., 0], X[..., 1]
+    v = (np.sin(3.1 * x) * np.cos(2.7 * y)
+         + 0.6 * np.sin(7.3 * x + 1.0) * np.sin(5.9 * y + 2.0)
+         + 0.3 * np.sin(13.0 * x * y + 0.5))
+    return (v * 0.25 + 0.5) * 255.0
+
+
+def intersect_plane(P: np.ndarray, h: int, w: int,
+                    n_world: np.ndarray, d_world: float) -> tuple[np.ndarray, np.ndarray]:
+    """Ray/plane intersection for every pixel of camera P.
+
+    Plane: n . X + d = 0 in world coordinates.  Returns (X [h,w,3],
+    depth [h,w] along the camera z axis)."""
+    M = P[:, :3]
+    p4 = P[:, 3]
+    M_inv = np.linalg.inv(M)
+    C = -M_inv @ p4                      # camera center
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs = pix @ M_inv.T                 # ray directions (unnormalized)
+    denom = dirs @ n_world
+    tparam = -(d_world + C @ n_world) / denom
+    X = C + tparam[..., None] * dirs
+    # Depth = third row of P applied to X (w-coordinate; H&Z p.162).
+    depth = X @ P[2, :3] + P[2, 3]
+    return X, depth
+
+
+def plane_scene(num_cams: int = 4, h: int = 64, w: int = 80,
+                focal: float = 120.0, plane_n=(0.0, 0.0, 1.0),
+                plane_depth: float = 5.0,
+                slant: tuple[float, float] = (0.0, 0.0)):
+    """Render a textured (optionally slanted) plane into `num_cams` views.
+
+    Returns (images list [h,w] float32, rig, gt_depth [h,w] for camera 0,
+    plane (n_world, d_world)).
+    plane passes through (0, 0, plane_depth); `slant` tilts the normal.
+    """
+    n = np.array([slant[0], slant[1], 1.0])
+    n = n / np.linalg.norm(n)
+    d = -n @ np.array([0.0, 0.0, plane_depth])
+
+    Ps = make_ring_P(num_cams, h, w, focal, target_depth=plane_depth)
+    images = []
+    gt_depth = None
+    for i, P in enumerate(Ps):
+        X, depth = intersect_plane(P, h, w, n, d)
+        images.append(texture_fn(X).astype(np.float32))
+        if i == 0:
+            gt_depth = depth.astype(np.float32)
+    rig = build_rig(Ps)
+    return images, rig, gt_depth, (n, d)

@@ -1,0 +1,108 @@
+"""IO round-trip tests: dmb, pfm, ply, calib readers, visualizations."""
+import numpy as np
+import pytest
+
+from gipuma_tpu.io import calib, dmb, pfm, ply, vis
+
+
+def test_dmb_roundtrip(tmp_path, rng):
+    a = rng.normal(size=(13, 17)).astype(np.float32)
+    p = tmp_path / "d.dmb"
+    dmb.write_dmb(p, a)
+    np.testing.assert_array_equal(dmb.read_dmb(p), a)
+    # header layout check: type=1, h, w, nb little-endian int32
+    raw = p.read_bytes()
+    assert np.frombuffer(raw[:16], "<i4").tolist() == [1, 13, 17, 1]
+
+    n = rng.normal(size=(5, 6, 3)).astype(np.float32)
+    p2 = tmp_path / "n.dmb"
+    dmb.write_dmb(p2, n)
+    np.testing.assert_array_equal(dmb.read_dmb(p2), n)
+
+
+def test_pfm_roundtrip(tmp_path, rng):
+    a = rng.normal(size=(9, 11)).astype(np.float32)
+    p = tmp_path / "d.pfm"
+    pfm.write_pfm(p, a)
+    np.testing.assert_array_equal(pfm.read_pfm(p), a)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    h, w = 8, 10
+    depth = rng.uniform(1, 5, size=(h, w)).astype(np.float32)
+    depth[0, 0] = 0.0  # invalid
+    normals = rng.normal(size=(h, w, 3)).astype(np.float32)
+    colors = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    K = np.array([[50.0, 0, 5], [0, 50, 4], [0, 0, 1]])
+    P = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    p = tmp_path / "c.ply"
+    n = ply.write_ply(p, depth, normals, colors, P)
+    assert n == h * w - 1
+    pts, nrm, col = ply.read_ply(p)
+    assert pts.shape == (n, 3)
+    # Reproject a few points: P @ (X, 1) should give the pixel back.
+    Xh = np.concatenate([pts, np.ones((n, 1))], axis=1)
+    q = Xh @ P.T
+    xy = q[:, :2] / q[:, 2:3]
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    valid = depth > 0
+    np.testing.assert_allclose(xy[:, 0], xs[valid], atol=1e-3)
+    np.testing.assert_allclose(xy[:, 1], ys[valid], atol=1e-3)
+    np.testing.assert_allclose(q[:, 2], depth[valid], rtol=1e-5)
+
+
+def test_read_P_file(tmp_path):
+    p = tmp_path / "a.P"
+    p.write_text("CONTOUR\n1 2 3 4\n5 6 7 8\n9 10 11 12\n")
+    P = calib.read_P_file(p)
+    np.testing.assert_array_equal(P, np.arange(1, 13).reshape(3, 4))
+
+
+def test_read_krt_middlebury(tmp_path):
+    K = [100, 0, 32, 0, 100, 24, 0, 0, 1]
+    R = list(np.eye(3).ravel())
+    t = [0.1, 0.2, 0.3]
+    line = "img1.png " + " ".join(str(v) for v in K + R + t)
+    f = tmp_path / "par.txt"
+    f.write_text("1\n" + line + "\n")
+    (P,) = calib.read_krt_file_middlebury(f, ["img1.png"])
+    Km = np.array(K).reshape(3, 3)
+    expect = Km @ np.hstack([np.eye(3), np.array(t)[:, None]])
+    np.testing.assert_allclose(P, expect)
+
+
+def test_read_kitti(tmp_path):
+    f = tmp_path / "calib.txt"
+    f.write_text("P0: " + " ".join(str(v) for v in range(12)) + "\n"
+                 "P1: " + " ".join(str(v) for v in range(12, 24)) + "\n")
+    P0, P1 = calib.read_calib_file_kitti(f)
+    np.testing.assert_array_equal(P0, np.arange(12).reshape(3, 4))
+    np.testing.assert_array_equal(P1, np.arange(12, 24).reshape(3, 4))
+
+
+def test_vis_shapes(tmp_path, rng):
+    depth = rng.uniform(1, 5, size=(16, 20)).astype(np.float32)
+    normals = rng.normal(size=(16, 20, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    jet = vis.depth_to_jet(depth, 1.0, 5.0)
+    assert jet.shape == (16, 20, 3) and jet.dtype == np.uint8
+    npng = vis.normals_png(normals)
+    assert npng.shape == (16, 20, 3)
+    g16 = vis.disparity_to_gray16(depth, 5.0)
+    assert g16.dtype == np.uint16
+    vis.save_png(tmp_path / "d.png", jet)
+    vis.save_png(tmp_path / "g16.png", g16)
+    assert (tmp_path / "d.png").exists()
+
+
+def test_bundler_range(tmp_path):
+    # 1 camera, 2 points at distances 2 and 10 from origin.
+    content = ["# Bundle file v0.3", "1 2"]
+    content += ["0 0 0", "1 0 0", "0 1 0", "0 0 1", "0 0 0"]  # camera block
+    content += ["0 0 2", "255 0 0", "0"]
+    content += ["0 0 10", "0 255 0", "0"]
+    f = tmp_path / "bundle.rd.out"
+    f.write_text("\n".join(content) + "\n")
+    dmin, dmax = calib.bundler_depth_range(f, np.zeros(3))
+    assert dmin == pytest.approx(2 * 0.6)
+    assert dmax == pytest.approx(10 * 1.2)

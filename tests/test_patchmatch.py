@@ -1,0 +1,68 @@
+"""End-to-end PatchMatch on synthetic scenes with analytic ground truth."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gipuma_tpu.config import AlgorithmParams, PRESETS
+from gipuma_tpu.geometry.camera import FAKE_BASELINE
+from gipuma_tpu.models.patchmatch import finalize, init_state, run_patchmatch
+from gipuma_tpu.models.scene import build_scene
+from gipuma_tpu.utils.synthetic import plane_scene
+
+
+def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3):
+    images, rig, gt_depth, _ = plane_scene(
+        num_cams=4, h=h, w=w, focal=100.0, plane_depth=5.0, slant=slant)
+    depth_min, depth_max = 3.0, 8.0
+    params = AlgorithmParams(
+        box_hsize=9, box_vsize=9, iterations=iterations, n_best=2,
+        seed=0).with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
+    scene = build_scene(images, rig, [1, 2, 3], params, depth_min, depth_max)
+    return images, rig, gt_depth, params, scene
+
+
+def test_recovers_frontoparallel_plane():
+    images, rig, gt_depth, params, scene = make_setup()
+    key = jax.random.PRNGKey(params.seed)
+    state = jax.jit(
+        lambda k: run_patchmatch(scene, params, k))(key)
+    depth, normals, cost = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.01)
+    assert frac_good > 0.9, f"only {frac_good:.2%} pixels within 1% depth"
+    # Normals should be close to the true plane normal (0, 0, ±1) in world.
+    nz = np.abs(normals[interior][..., 2])
+    assert np.median(nz) > 0.97
+
+
+def test_recovers_slanted_plane():
+    images, rig, gt_depth, params, scene = make_setup(slant=(0.35, -0.25))
+    key = jax.random.PRNGKey(1)
+    state = run_patchmatch(scene, params, key)
+    depth, normals, cost = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    assert np.mean(err < 0.02) > 0.85, f"median rel err {np.median(err):.4f}"
+
+
+def test_determinism():
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40, iterations=1)
+    key = jax.random.PRNGKey(7)
+    s1 = run_patchmatch(scene, params, key)
+    s2 = run_patchmatch(scene, params, key)
+    np.testing.assert_array_equal(np.asarray(s1.planes), np.asarray(s2.planes))
+    np.testing.assert_array_equal(np.asarray(s1.cost), np.asarray(s2.cost))
+
+
+def test_iterations_reduce_cost():
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40, iterations=2)
+    key = jax.random.PRNGKey(3)
+    s0 = init_state(scene, params, key)
+    s2 = run_patchmatch(scene, params, key)
+    m0 = float(jnp.mean(s0.cost))
+    m2 = float(jnp.mean(s2.cost))
+    assert m2 < 0.5 * m0, f"mean cost {m0:.3f} -> {m2:.3f}"
