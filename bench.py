@@ -1,0 +1,73 @@
+"""Benchmark: megapixel-depthmaps per second on one chip.
+
+Workload: dinoSparseRing-scale synthetic scene (640x480, 6 source views,
+box 11, 8 iterations — the Middlebury preset of scripts/dino.sh:8-24,
+BASELINE.json config 1) run end-to-end (init + all iterations + finalize)
+on the available accelerator.
+
+Baseline: the reference publishes no in-tree numbers (BASELINE.md); the
+ICCV'15 paper-era figure is ~2.7 s for a 0.3 MP view on a consumer GPU
+=> ~0.114 MP-depthmaps/s, which `vs_baseline` is computed against.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MP_PER_S = 0.3072 / 2.7   # 640x480 / 2.7 s (paper-era reference GPU)
+
+
+def main() -> int:
+    import jax
+
+    from gipuma_tpu.config import PRESETS
+    from gipuma_tpu.geometry.camera import FAKE_BASELINE
+    from gipuma_tpu.models.patchmatch import finalize, run_patchmatch
+    from gipuma_tpu.models.scene import build_scene
+    from gipuma_tpu.utils.synthetic import plane_scene
+
+    h, w, n_views = 480, 640, 7
+    images, rig, _, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
+                                    plane_depth=5.0, slant=(0.2, -0.1))
+    depth_min, depth_max = 3.0, 8.0
+    params = PRESETS["middlebury"].replace(seed=0)
+    params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
+    scene = build_scene(images, rig, list(range(1, n_views)), params,
+                        depth_min, depth_max)
+
+    key = jax.random.PRNGKey(0)
+
+    def job(k):
+        state = run_patchmatch(scene, params, k)
+        depth, normals, cost = finalize(state, scene)
+        return depth
+
+    jitted = jax.jit(job)
+    # Warmup / compile.
+    d = jax.block_until_ready(jitted(key))
+    assert np.isfinite(np.asarray(d)).all()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        d = jitted(jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(d)
+    dt = (time.perf_counter() - t0) / reps
+
+    mp_per_s = (h * w) / 1e6 / dt
+    print(json.dumps({
+        "metric": "megapixel-depthmaps/s/chip",
+        "value": round(mp_per_s, 5),
+        "unit": "MP/s",
+        "vs_baseline": round(mp_per_s / BASELINE_MP_PER_S, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

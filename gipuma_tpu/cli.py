@@ -1,0 +1,164 @@
+"""Command-line front end — flag parity with the reference CLI
+(main.cpp:164-428), plus preset selection and the fusion stage the
+reference delegates to fusibile.
+
+Usage mirrors the reference:
+    python -m gipuma_tpu.cli img0.png img1.png ... -images_folder F \
+        -krt_file par.txt -blocksize 11 --iterations 8 ...
+Extras:
+    --preset middlebury|dtu_fast|dtu_accurate
+    --all_views        run every image as the reference view (script loop)
+    --fuse             run consistency fusion over the produced depth maps
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import AlgorithmParams, CostCombination, FusionParams, PRESETS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gipuma_tpu",
+        description="TPU-native massively parallel multi-view stereo")
+    p.add_argument("images", nargs="*", help="image filenames; first = reference")
+    # Input paths (InputFiles fields, main.h:27-60)
+    p.add_argument("-images_folder", default="")
+    p.add_argument("-p_folder", default=None)
+    p.add_argument("-krt_file", default=None)
+    p.add_argument("-calib_file", default=None)
+    p.add_argument("-pmvs_folder", default=None)
+    p.add_argument("-camera_idx", type=int, default=None,
+                   help="reference view index (pmvs mode, main.cpp:409-421)")
+    p.add_argument("-output_folder", default="results")
+    # Algorithm flags (main.cpp:164-428)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("-blocksize", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--tau_color", type=float, default=None)
+    p.add_argument("--tau_gradient", type=float, default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--depth_min", type=float, default=None)
+    p.add_argument("--depth_max", type=float, default=None)
+    p.add_argument("--n_best", type=int, default=None)
+    p.add_argument("--cost_comb", choices=["all", "best_n", "good"], default=None)
+    p.add_argument("--good_factor", type=float, default=None)
+    p.add_argument("-view_selection", action="store_true")
+    p.add_argument("--no_view_selection", action="store_true")
+    p.add_argument("--min_angle", type=float, default=None)
+    p.add_argument("--max_angle", type=float, default=None)
+    p.add_argument("--max_views", type=int, default=None)
+    p.add_argument("--color_processing", action="store_true")
+    p.add_argument("--cam_scale", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0,
+                   help="PRNG seed (the reference's unimplemented "
+                        "--initial_seed, main.cpp:394; here it works)")
+    # Batch + fusion (scripts layer capability)
+    p.add_argument("--all_views", action="store_true",
+                   help="compute a depth map for every view (scripts loop)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse the per-view depth maps (fusibile stage)")
+    p.add_argument("--disp_thresh", type=float, default=0.5)
+    p.add_argument("--normal_thresh", type=float, default=30.0)
+    p.add_argument("--num_consistent", type=int, default=3)
+    # GT evaluation (main.cpp:378-385)
+    p.add_argument("-gt", default=None, help="ground-truth depth (dmb/pfm)")
+    p.add_argument("--gt_tol", type=float, default=1.0)
+    return p
+
+
+def params_from_args(args) -> AlgorithmParams:
+    params = PRESETS[args.preset] if args.preset else AlgorithmParams()
+    over = {}
+    if args.blocksize is not None:
+        over["box_hsize"] = args.blocksize
+        over["box_vsize"] = args.blocksize
+    for name in ("iterations", "tau_color", "tau_gradient", "alpha", "gamma",
+                 "depth_min", "depth_max", "n_best", "good_factor",
+                 "min_angle", "max_angle", "max_views", "cam_scale", "seed"):
+        v = getattr(args, name, None)
+        if v is not None:
+            over[name] = v
+    if args.cost_comb is not None:
+        over["cost_comb"] = {"all": CostCombination.ALL,
+                             "best_n": CostCombination.BEST_N,
+                             "good": CostCombination.GOOD}[args.cost_comb]
+    if args.no_view_selection:
+        over["view_selection"] = False
+    if args.color_processing:
+        over["color_processing"] = True
+    return params.replace(**over)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .io.images import list_images
+    from .pipeline import run_batch
+
+    folder = Path(args.images_folder) if args.images_folder else Path(".")
+    names = args.images or list_images(folder)
+    if not names:
+        print("no input images", file=sys.stderr)
+        return 2
+    paths = [str(folder / n) for n in names]
+
+    params = params_from_args(args)
+    ts = time.strftime("%Y%m%d-%H%M%S")
+    out_root = Path(args.output_folder) / ts
+
+    if args.all_views:
+        ref_indices = None
+    elif args.camera_idx is not None:
+        ref_indices = [args.camera_idx]
+    else:
+        ref_indices = [0]
+
+    results = run_batch(paths, params, out_root,
+                        p_folder=args.p_folder, krt_file=args.krt_file,
+                        calib_file=args.calib_file,
+                        pmvs_folder=args.pmvs_folder,
+                        ref_indices=ref_indices,
+                        color=args.color_processing)
+    for r in results:
+        print(f"{r.ref_name}: {r.runtime_s:.2f}s, views={r.view_subset}, "
+              f"depth=[{r.depth_min:.3f},{r.depth_max:.3f}]")
+
+    if args.gt and len(results) == 1:
+        from .eval.metrics import depth_error
+        from .io.dmb import read_dmb
+        from .io.pfm import read_pfm
+        gt = (read_dmb(args.gt) if args.gt.endswith(".dmb")
+              else read_pfm(args.gt))
+        rep = depth_error(results[0].depth, np.asarray(gt), tol=args.gt_tol)
+        print(f"GT error rate @{args.gt_tol}: {rep.error_rate:.4f} "
+              f"(mean abs {rep.mean_abs_error:.4f})")
+
+    if args.fuse:
+        from .fusion.fuse import fuse_depthmaps
+        from .io.calib import load_projection_matrices
+        from .io.ply import write_ply_points
+        Ps = load_projection_matrices(
+            names, p_folder=args.p_folder, krt_file=args.krt_file,
+            calib_file=args.calib_file, pmvs_folder=args.pmvs_folder)
+        fp = FusionParams(disp_thresh=args.disp_thresh,
+                          normal_thresh=args.normal_thresh,
+                          num_consistent=args.num_consistent)
+        depths = np.stack([r.depth for r in results])
+        normals = np.stack([r.normals for r in results])
+        order = ref_indices if ref_indices is not None else list(range(len(names)))
+        pts, nrm, col = fuse_depthmaps(
+            depths, normals, [Ps[i] for i in order], fp)
+        out = out_root / "fused.ply"
+        n = write_ply_points(out, pts, nrm, col)
+        print(f"fused cloud: {n} points -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,14 +131,19 @@ class AlgorithmParams:
         """Return params with depth range and the induced disparity range set.
 
         Mirrors main.cpp:898-912: min_disparity = f*b/depthMax,
-        max_disparity = f*b/depthMin.
+        max_disparity = f*b/depthMin.  Values are rounded to 6 significant
+        digits: params are JIT-static, and sub-ulp focal-length jitter
+        between reference views must not trigger recompilation.
         """
+        def sig6(v: float) -> float:
+            return float(f"{v:.6g}")
+
         return dataclasses.replace(
             self,
-            depth_min=depth_min,
-            depth_max=depth_max,
-            min_disparity=f * baseline / depth_max,
-            max_disparity=f * baseline / depth_min,
+            depth_min=sig6(depth_min),
+            depth_max=sig6(depth_max),
+            min_disparity=sig6(f * baseline / depth_max),
+            max_disparity=sig6(f * baseline / depth_min),
         )
 
     def replace(self, **kw) -> "AlgorithmParams":

@@ -71,7 +71,8 @@ def random_unit_hemisphere(key, view_vec: jnp.ndarray) -> jnp.ndarray:
     return T.flip_to_hemisphere(n, view_vec)
 
 
-def init_state(scene: ScenePack, params: AlgorithmParams, key) -> PMState:
+def init_state(scene: ScenePack, params: AlgorithmParams, key,
+               cost_fn=multiview_cost) -> PMState:
     """Random init: uniform disparity -> depth, random hemisphere normal,
     plane distance, initial multiview cost (gipuma_init_cu2)."""
     h, w = scene.rays.shape[:2]
@@ -88,14 +89,14 @@ def init_state(scene: ScenePack, params: AlgorithmParams, key) -> PMState:
     cost = jnp.zeros((h, w), planes.dtype)
     for parity in (0, 1):
         np_, dp_ = cb.extract(n, parity), cb.extract(d, parity)
-        c = multiview_cost(scene, params, parity, np_, dp_)
+        c = cost_fn(scene, params, parity, np_, dp_)
         cost = cb.interleave(cost, c, parity)
     return PMState(planes=planes, cost=cost, key=key)
 
 
 def _fold_better(scene, params, parity, x, y,
                  cand_n, cand_d, cand_ok,
-                 n_now, d_now, c_now):
+                 n_now, d_now, c_now, cost_fn=multiview_cost):
     """Sequentially accept strictly-better candidates (spatialPropagation_cu,
     gipuma.cu:832-874): compute each candidate's multiview cost, accept when
     cost < current AND the induced depth is inside [depthMin, depthMax].
@@ -105,7 +106,7 @@ def _fold_better(scene, params, parity, x, y,
     the accept fold is sequential — same result as the reference's
     candidate-by-candidate loop, first-minimum tie-breaking included."""
     ck_all = jax.vmap(
-        lambda nk, dk: multiview_cost(scene, params, parity, nk, dk)
+        lambda nk, dk: cost_fn(scene, params, parity, nk, dk)
     )(cand_n, cand_d)
     depth_all = T.depth_from_plane(cand_n, cand_d, x, y, scene.fx, scene.cx,
                                    scene.cy, scene.alpha_focal)
@@ -121,7 +122,7 @@ def _fold_better(scene, params, parity, x, y,
 
 
 def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
-                      parity: int, offsets) -> PMState:
+                      parity: int, offsets, cost_fn=multiview_cost) -> PMState:
     """One checkerboard propagation sub-sweep over the given neighbor offsets."""
     h, w = state.cost.shape
     w2 = w // 2
@@ -148,7 +149,7 @@ def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
 
     n_now, d_now, c_now = _fold_better(
         scene, params, parity, x, y, cand_n, cand_d, cand_ok,
-        n_now, d_now, c_now)
+        n_now, d_now, c_now, cost_fn=cost_fn)
 
     planes = cb.interleave(
         state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
@@ -157,7 +158,7 @@ def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
 
 
 def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
-                     parity: int) -> PMState:
+                     parity: int, cost_fn=multiview_cost) -> PMState:
     """Plane refinement: exponential perturbation schedule in disparity space
     (planeRefinement_cu + getRndDispAndUnitVector_cu, gipuma.cu:890-994)."""
     x, y = _active_coords(scene, parity)
@@ -190,7 +191,7 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
         d_new = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_new, x, y,
                                    depth_new)
 
-        c_new = multiview_cost(scene, params, parity, n_new, d_new)
+        c_new = cost_fn(scene, params, parity, n_new, d_new)
         accept = c_new < c_now
         n_now = jnp.where(accept[..., None], n_new, n_now)
         d_now = jnp.where(accept, d_new, d_now)
@@ -203,23 +204,31 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
     return PMState(planes=planes, cost=cost, key=key)
 
 
-def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams) -> PMState:
+def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams,
+              cost_fn=multiview_cost) -> PMState:
     """One full PatchMatch iteration: black {close, far, refine} then red
     {close, far, refine} (gipuma.cu:1911-1941, SMALLKERNEL schedule)."""
     for parity in (0, 1):  # 0 = black, 1 = red
-        state = propagation_sweep(state, scene, params, parity, CLOSE_OFFSETS)
+        state = propagation_sweep(state, scene, params, parity, CLOSE_OFFSETS,
+                                  cost_fn=cost_fn)
         if params.far_propagation:
-            state = propagation_sweep(state, scene, params, parity, FAR_OFFSETS)
-        state = refinement_sweep(state, scene, params, parity)
+            state = propagation_sweep(state, scene, params, parity,
+                                      FAR_OFFSETS, cost_fn=cost_fn)
+        state = refinement_sweep(state, scene, params, parity, cost_fn=cost_fn)
     return state
 
 
-def run_patchmatch(scene: ScenePack, params: AlgorithmParams, key) -> PMState:
-    """Init + `params.iterations` iterations as a lax.scan (jit-friendly)."""
-    state = init_state(scene, params, key)
+def run_patchmatch(scene: ScenePack, params: AlgorithmParams, key,
+                   cost_fn=multiview_cost) -> PMState:
+    """Init + `params.iterations` iterations as a lax.scan (jit-friendly).
+
+    `cost_fn` lets the parallel layer substitute a view-sharded multiview
+    cost (per-view costs computed on each chip's local views, combined via
+    an ICI all-gather) without touching the sweep logic."""
+    state = init_state(scene, params, key, cost_fn=cost_fn)
 
     def step(s, _):
-        return iteration(s, scene, params), None
+        return iteration(s, scene, params, cost_fn=cost_fn), None
 
     state, _ = jax.lax.scan(step, state, None, length=params.iterations)
     return state

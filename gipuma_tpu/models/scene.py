@@ -110,4 +110,27 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
         R_orig_inv=jnp.asarray(ref_cam.R_orig_inv, dtype=dtype),
         depth_min=jnp.asarray(depth_min, dtype=dtype),
         depth_max=jnp.asarray(depth_max, dtype=dtype),
+        view_valid=jnp.ones((len(view_subset),), dtype=dtype),
     )
+
+
+def pad_scene_views(scene: ScenePack, multiple: int) -> ScenePack:
+    """Pad the view axis to a multiple of the view-mesh size.
+
+    Padded slots duplicate view 0's arrays but carry view_valid = 0, so
+    their per-view costs are forced to MAXCOST and never influence the
+    best-n combination."""
+    V = scene.num_views
+    target = -(-V // multiple) * multiple
+    if target == V:
+        return scene
+    pad = target - V
+
+    def pad0(a):
+        reps = jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+        return reps
+
+    return scene._replace(
+        src=pad0(scene.src), A=pad0(scene.A), b=pad0(scene.b),
+        view_valid=jnp.concatenate(
+            [scene.view_valid, jnp.zeros((pad,), scene.view_valid.dtype)]))

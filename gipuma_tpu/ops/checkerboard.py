@@ -21,7 +21,7 @@ parity — see `PaddedEO.shifted`.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp
@@ -45,15 +45,27 @@ def active_y(h: int, w2: int, dtype=jnp.float32) -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.int32, (h, w2), 0).astype(dtype)
 
 
-class PaddedEO(NamedTuple):
-    """Even/odd column split of an edge-padded [H + 2*pr, W + 2*pc(, C)] array."""
+@jax.tree_util.register_pytree_node_class
+class PaddedEO:
+    """Even/odd column split of an edge-padded [H + 2*pr, W + 2*pc(, C)] array.
 
-    E: jnp.ndarray  # columns 0, 2, 4, ... of the padded array
-    O: jnp.ndarray  # columns 1, 3, 5, ...
-    pr: int         # row padding
-    pc: int         # column padding (even)
-    h: int          # original height
-    w2: int         # original width // 2
+    A registered pytree: (E, O) are array children; (pr, pc, h, w2) are
+    static aux data so vmap/shard_map/jit treat them as structure."""
+
+    def __init__(self, E, O, pr: int, pc: int, h: int, w2: int):
+        self.E = E   # columns 0, 2, 4, ... of the padded array
+        self.O = O   # columns 1, 3, 5, ...
+        self.pr = pr  # row padding
+        self.pc = pc  # column padding (even)
+        self.h = h    # original height
+        self.w2 = w2  # original width // 2
+
+    def tree_flatten(self):
+        return (self.E, self.O), (self.pr, self.pc, self.h, self.w2)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
 
     @staticmethod
     def build(a: jnp.ndarray, pr: int, pc: int) -> "PaddedEO":

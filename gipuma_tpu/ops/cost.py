@@ -68,6 +68,9 @@ class ScenePack(NamedTuple):
     R_orig_inv: jnp.ndarray     # [3, 3] reference camera world rotation
     depth_min: jnp.ndarray
     depth_max: jnp.ndarray
+    # [V] 1.0 for real views, 0.0 for padding (views are padded to a
+    # multiple of the view-mesh axis; padded views cost MAXCOST = invalid).
+    view_valid: jnp.ndarray
 
     @property
     def num_views(self) -> int:
@@ -152,8 +155,10 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
                 return acc + w * ((1.0 - a) * col + a * grad), None
 
             acc, _ = jax.lax.scan(step, acc, offs_arr)
-        # Invalid-view guard (gipuma.cu:770-775): NaN or >= MAXCOST.
-        acc = jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+        # Invalid-view guard (gipuma.cu:770-775): NaN or >= MAXCOST; padded
+        # views are always invalid.
+        acc = jnp.where(jnp.isnan(acc) | (acc >= MAXCOST)
+                        | (scene.view_valid[v] == 0.0), MAXCOST, acc)
         out.append(acc)
     return jnp.stack(out, axis=0)
 

@@ -30,6 +30,17 @@ from .models.scene import build_scene, ensure_even_width
 from .select import select_views
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _jitted_job(scene, params, key):
+    """One full depth-map job, jitted once per (shape, params) combination —
+    successive reference views of the same dataset reuse the executable."""
+    state = run_patchmatch(scene, params, key)
+    return finalize(state, scene)
+
+
 @dataclasses.dataclass
 class RunResult:
     depth: np.ndarray        # [H, W]
@@ -75,8 +86,7 @@ def compute_depthmap(images: Sequence[np.ndarray],
     key = jax.random.PRNGKey(params.seed)
 
     t0 = time.perf_counter()
-    state = run_patchmatch(scene, params, key)
-    depth, normals, cost = finalize(state, scene)
+    depth, normals, cost = _jitted_job(scene, params, key)
     depth = np.asarray(jax.block_until_ready(depth))
     runtime = time.perf_counter() - t0
 
