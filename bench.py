@@ -27,7 +27,8 @@ def main() -> int:
 
     from gipuma_tpu.config import PRESETS
     from gipuma_tpu.geometry.camera import FAKE_BASELINE
-    from gipuma_tpu.models.patchmatch import finalize, run_patchmatch
+    from gipuma_tpu.models.patchmatch import (finalize, run_patchmatch,
+                                              run_patchmatch_host_loop)
     from gipuma_tpu.models.scene import build_scene
     from gipuma_tpu.utils.synthetic import plane_scene
 
@@ -35,27 +36,33 @@ def main() -> int:
     images, rig, _, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
                                     plane_depth=5.0, slant=(0.2, -0.1))
     depth_min, depth_max = 3.0, 8.0
-    params = PRESETS["middlebury"].replace(seed=0)
+    use_pallas = jax.default_backend() != "cpu"
+    params = PRESETS["middlebury"].replace(seed=0, use_pallas_sampler=use_pallas)
     params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
     scene = build_scene(images, rig, list(range(1, n_views)), params,
                         depth_min, depth_max)
 
     key = jax.random.PRNGKey(0)
+    jfin = jax.jit(finalize)
 
-    def job(k):
-        state = run_patchmatch(scene, params, k)
-        depth, normals, cost = finalize(state, scene)
-        return depth
+    if use_pallas:
+        # Host-dispatched sub-sweeps (see run_patchmatch_host_loop).
+        def job(k):
+            state = run_patchmatch_host_loop(scene, params, k)
+            return jfin(state, scene)[0]
+    else:
+        jitted_all = jax.jit(lambda k: finalize(
+            run_patchmatch(scene, params, k), scene)[0])
+        job = jitted_all
 
-    jitted = jax.jit(job)
     # Warmup / compile.
-    d = jax.block_until_ready(jitted(key))
+    d = jax.block_until_ready(job(key))
     assert np.isfinite(np.asarray(d)).all()
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        d = jitted(jax.random.PRNGKey(i + 1))
+        d = job(jax.random.PRNGKey(i + 1))
     jax.block_until_ready(d)
     dt = (time.perf_counter() - t0) / reps
 

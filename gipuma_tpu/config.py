@@ -91,6 +91,10 @@ class AlgorithmParams:
     no_texture_per: float = 0.6
     cost_thresh: float = 40.0  # validity threshold for outputs/fusion
     seed: int = 0              # replaces curand clock64() seeding — deterministic
+    # Use the Pallas TPU sampling kernel for source-view gathers (the
+    # XLA gather fallback is ~30x slower; Pallas path requires the whole
+    # source image to fit in VMEM — gated automatically by build_scene).
+    use_pallas_sampler: bool = False
 
     @property
     def box_hrad(self) -> int:

@@ -101,13 +101,16 @@ def _fold_better(scene, params, parity, x, y,
     gipuma.cu:832-874): compute each candidate's multiview cost, accept when
     cost < current AND the induced depth is inside [depthMin, depthMax].
 
-    Costs are candidate-independent of the running best, so they are
-    evaluated as one vmapped batch (single trace, K-batched ops) and only
-    the accept fold is sequential — same result as the reference's
-    candidate-by-candidate loop, first-minimum tie-breaking included."""
-    ck_all = jax.vmap(
-        lambda nk, dk: cost_fn(scene, params, parity, nk, dk)
-    )(cand_n, cand_d)
+    Costs are candidate-independent of the running best, so they are all
+    evaluated up front via lax.map and only the accept fold is sequential —
+    same result as the reference's candidate-by-candidate loop,
+    first-minimum tie-breaking included.  (lax.map, not vmap or a python
+    loop: vmap-batching the Pallas sampling kernel hangs the TPU runtime,
+    and python-loop unrolling duplicates the kernel executable per
+    candidate, overflowing the executable serializer.)"""
+    ck_all = jax.lax.map(
+        lambda nd: cost_fn(scene, params, parity, nd[0], nd[1]),
+        (cand_n, cand_d))
     depth_all = T.depth_from_plane(cand_n, cand_d, x, y, scene.fx, scene.cx,
                                    scene.cy, scene.alpha_focal)
     for k in range(cand_n.shape[0]):
@@ -147,9 +150,17 @@ def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
     d_now = cb.extract(state.planes[..., 3], parity)
     c_now = cb.extract(state.cost, parity)
 
+    n_old, d_old = n_now, d_now
     n_now, d_now, c_now = _fold_better(
         scene, params, parity, x, y, cand_n, cand_d, cand_ok,
         n_now, d_now, c_now, cost_fn=cost_fn)
+
+    if params.no_texture_check:
+        # Textureless pixels are frozen at MAXCOST (gipuma.cu:1209-1234).
+        tex = cb.extract(scene.texture_ok, parity)
+        n_now = jnp.where(tex[..., None], n_now, n_old)
+        d_now = jnp.where(tex, d_now, d_old)
+        c_now = jnp.where(tex, c_now, MAXCOST)
 
     planes = cb.interleave(
         state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
@@ -172,8 +183,19 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
 
     schedule = params.refinement_schedule()
     key = state.key
-    for (delta_z, delta_n) in schedule:       # static unroll (<= ~5 rounds)
-        key, kz, kn = jax.random.split(key, 3)
+    # Rounds as a lax.scan over the stacked (delta_z, delta_n, key) schedule
+    # so the compiled program holds ONE cost-kernel instance for all rounds.
+    keys = jax.random.split(key, 2 * len(schedule) + 1)
+    key = keys[0]
+    round_keys = keys[1:].reshape(len(schedule), 2, *keys.shape[1:])
+    deltas = jnp.asarray(np.asarray(schedule, dtype=np.float32))
+    if params.no_texture_check:
+        tex_ok = cb.extract(scene.texture_ok, parity)
+
+    def round_body(carry, rin):
+        n_now, d_now, c_now, depth_now = carry
+        (delta_z, delta_n), ks = rin
+        kz, kn = ks[0], ks[1]
         disp = T.disparity_depth(scene.f, scene.baseline, depth_now)
         # Perturbation interval limited by the disparity range
         # (gipuma.cu:906-916).
@@ -184,8 +206,8 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
         disp_new = jnp.clip(disp_new, params.min_disparity, params.max_disparity)
         depth_new = T.disparity_depth(scene.f, scene.baseline, disp_new)
 
-        jitter = jax.random.uniform(kn, n_now.shape, dtype=n_now.dtype,
-                                    minval=-delta_n, maxval=delta_n)
+        u_n = jax.random.uniform(kn, n_now.shape, dtype=n_now.dtype)
+        jitter = (u_n * 2.0 - 1.0) * delta_n
         n_new = T.normalize(n_now + jitter, eps=1e-20)
         n_new = T.flip_to_hemisphere(n_new, view_vec)
         d_new = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_new, x, y,
@@ -193,11 +215,20 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
 
         c_new = cost_fn(scene, params, parity, n_new, d_new)
         accept = c_new < c_now
+        if params.no_texture_check:
+            accept = accept & tex_ok
         n_now = jnp.where(accept[..., None], n_new, n_now)
         d_now = jnp.where(accept, d_new, d_now)
         depth_now = jnp.where(accept, depth_new, depth_now)
         c_now = jnp.where(accept, c_new, c_now)
+        return (n_now, d_now, c_now, depth_now), None
 
+    (n_now, d_now, c_now, depth_now), _ = jax.lax.scan(
+        round_body, (n_now, d_now, c_now, depth_now),
+        ((deltas[:, 0], deltas[:, 1]), round_keys))
+
+    if params.no_texture_check:
+        c_now = jnp.where(cb.extract(scene.texture_ok, parity), c_now, MAXCOST)
     planes = cb.interleave(
         state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
     cost = cb.interleave(state.cost, c_now, parity)
@@ -215,6 +246,41 @@ def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams,
             state = propagation_sweep(state, scene, params, parity,
                                       FAR_OFFSETS, cost_fn=cost_fn)
         state = refinement_sweep(state, scene, params, parity, cost_fn=cost_fn)
+    return state
+
+
+def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
+                             cost_fn=multiview_cost) -> PMState:
+    """run_patchmatch with host-side sub-sweep dispatch.
+
+    Keeps each sub-sweep a separate (cached) jit executable instead of one
+    fused program.  Needed on TPU with the Pallas sampler: fusing all six
+    sub-sweeps into one executable trips a runtime kernel fault (the
+    individual sweeps run fine); dispatch overhead is ~30 us per sweep,
+    negligible against sweep compute.  Mirrors the reference's six separate
+    kernel launches per iteration (gipuma.cu:1911-1941) — structurally the
+    same schedule.
+    """
+    import functools as _ft
+
+    jinit = jax.jit(_ft.partial(init_state, cost_fn=cost_fn),
+                    static_argnames=("params",))
+    jclose = jax.jit(_ft.partial(propagation_sweep, offsets=CLOSE_OFFSETS,
+                                 cost_fn=cost_fn),
+                     static_argnames=("params", "parity"))
+    jfar = jax.jit(_ft.partial(propagation_sweep, offsets=FAR_OFFSETS,
+                               cost_fn=cost_fn),
+                   static_argnames=("params", "parity"))
+    jrefine = jax.jit(_ft.partial(refinement_sweep, cost_fn=cost_fn),
+                      static_argnames=("params", "parity"))
+
+    state = jinit(scene, params, key)
+    for _ in range(params.iterations):
+        for parity in (0, 1):
+            state = jclose(state, scene, params=params, parity=parity)
+            if params.far_propagation:
+                state = jfar(state, scene, params=params, parity=parity)
+            state = jrefine(state, scene, params=params, parity=parity)
     return state
 
 

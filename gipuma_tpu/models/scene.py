@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,7 @@ from ..geometry import transforms as T
 from ..geometry.camera import Rig, rig_to_cameraset
 from ..ops import checkerboard as cb
 from ..ops.cost import ScenePack
+from ..ops.pallas_sampling import pad_width_to_128, split_blocks
 from ..ops.sampling import central_gradients
 
 
@@ -76,6 +78,9 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
         b_list.append(b)
 
     src = jnp.stack(src_list)                       # [V, H, W, 3C]
+    # Block-split copy for the Pallas sampler: [V, NB, 3C, H, 128].
+    src_chw = jnp.moveaxis(src, -1, 1)              # [V, 3C, H, W]
+    src_blocks = jax.vmap(lambda s: split_blocks(pad_width_to_128(s)))(src_chw)
     A = jnp.asarray(np.stack(A_list), dtype=dtype)  # [V, 3, 3]
     b = jnp.asarray(np.stack(b_list), dtype=dtype)  # [V, 3]
 
@@ -111,7 +116,33 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
         depth_min=jnp.asarray(depth_min, dtype=dtype),
         depth_max=jnp.asarray(depth_max, dtype=dtype),
         view_valid=jnp.ones((len(view_subset),), dtype=dtype),
+        src_blocks=src_blocks,
+        texture_ok=_texture_mask(ref_j, params) if params.no_texture_check
+        else jnp.ones((h, w), bool),
     )
+
+
+def _texture_mask(ref: jnp.ndarray, params: AlgorithmParams) -> jnp.ndarray:
+    """NOTEXTURE_CHECK capability (hasImageTexture, gipuma.cu:520-547):
+    a pixel is textureless when more than hrad*vrad*4/inc^2 * no_texture_per
+    window samples have bilateral weight > no_texture_sim."""
+    import jax.numpy as jnp
+
+    h, w = ref.shape[:2]
+    refp = jnp.pad(ref, ((params.box_vrad, params.box_vrad),
+                         (params.box_hrad, params.box_hrad), (0, 0)),
+                   mode="edge")
+    count = jnp.zeros((h, w), jnp.int32)
+    for (dx, dy) in params.window_offsets():
+        win = jax.lax.dynamic_slice(
+            refp, (params.box_vrad + dy, params.box_hrad + dx, 0),
+            (h, w, ref.shape[2]))
+        wgt = jnp.exp(-jnp.mean(jnp.abs(win - ref), -1) / params.gamma)
+        count = count + (wgt > params.no_texture_sim).astype(jnp.int32)
+    inc = params.window_increment
+    limit = (params.box_hrad * params.box_vrad * 4) // (inc * inc) \
+        * params.no_texture_per
+    return count <= limit
 
 
 def pad_scene_views(scene: ScenePack, multiple: int) -> ScenePack:
@@ -132,5 +163,6 @@ def pad_scene_views(scene: ScenePack, multiple: int) -> ScenePack:
 
     return scene._replace(
         src=pad0(scene.src), A=pad0(scene.A), b=pad0(scene.b),
+        src_blocks=pad0(scene.src_blocks),
         view_valid=jnp.concatenate(
             [scene.view_valid, jnp.zeros((pad,), scene.view_valid.dtype)]))

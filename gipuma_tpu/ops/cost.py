@@ -29,8 +29,10 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import MAXCOST, AlgorithmParams, CostCombination
+from ..config import (MAXCOST, AlgorithmParams, CostCombination,
+                      MatchingAlgorithm)
 from . import checkerboard as cb
+from .pallas_sampling import bilinear_sample_blocks
 from .sampling import bilinear_sample
 
 
@@ -71,6 +73,12 @@ class ScenePack(NamedTuple):
     # [V] 1.0 for real views, 0.0 for padding (views are padded to a
     # multiple of the view-mesh axis; padded views cost MAXCOST = invalid).
     view_valid: jnp.ndarray
+    # Block-split source copy [V, NB, 3C, H, 128] for the Pallas sampler.
+    src_blocks: jnp.ndarray
+    # [H, W] bool: False where the reference window is textureless and the
+    # pixel is excluded (NOTEXTURE_CHECK, gipuma.cu:520-584,1209-1234).
+    # All-True when the check is disabled.
+    texture_ok: jnp.ndarray
 
     @property
     def num_views(self) -> int:
@@ -87,6 +95,13 @@ def _l1(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(x), axis=-1)
 
 
+def _census_bits(center, value, eps):
+    """3-way intensity classification (getCTbit_cu, gipuma.cu:362-369):
+    0 if center - value > eps, 2 if value - center > eps, else 1."""
+    return jnp.where(center - value > eps, 0,
+                     jnp.where(value - center > eps, 2, 1))
+
+
 def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
                    n: jnp.ndarray, d: jnp.ndarray,
                    view_indices: Sequence[int] | None = None) -> jnp.ndarray:
@@ -95,6 +110,11 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
     n: [H, W2, 3], d: [H, W2] on the parity's active half-grid.
     Returns [V, H, W2] with invalid (NaN/overflow) entries set to MAXCOST
     (gipuma.cu:770-775).
+
+    algorithm == PM: bilaterally-weighted truncated color+gradient cost.
+    algorithm == CENSUS: census-transform bit-comparison cost
+    (censusTransform_Arma_cu, gipuma.cu:370-450): full window (increment 1,
+    center excluded), cost += 1 per differing sign-class bit.
     """
     C = scene.channels
     rays = cb.extract(scene.rays, parity)                  # [H, W2, 3]
@@ -104,9 +124,17 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
     mc1 = jnp.sum(m * scene.k1inv_c1, axis=-1)
 
     ref_center = scene.ref_img.shifted(0, 0, parity)        # [H, W2, C]
-    offsets = params.window_offsets()
     inv_gamma = 1.0 / params.gamma
     a = params.alpha
+    census = params.algorithm == MatchingAlgorithm.CENSUS
+    if census:
+        # Full window, increment 1, center pixel excluded (gipuma.cu:435-439).
+        offsets = [(dx, dy)
+                   for dx in range(-params.box_hrad, params.box_hrad + 1)
+                   for dy in range(-params.box_vrad, params.box_vrad + 1)
+                   if not (dx == 0 and dy == 0)]
+    else:
+        offsets = params.window_offsets()
 
     # Window offsets grouped by dx parity so the per-group scan can use
     # static even/odd plane selection (PaddedEO.shifted_dyn).  Scanning
@@ -116,22 +144,40 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
     for (dx, dy) in offsets:
         groups[dx % 2].append((dx, dy))
 
-    views = range(scene.num_views) if view_indices is None else view_indices
-    out = []
-    for v in views:
-        Av, bv = scene.A[v], scene.b[v]
+    # The view loop is a lax.scan over stacked per-view inputs, NOT a python
+    # loop: every view shares one trace, so the compiled program contains a
+    # single instance of the (Pallas) sampling kernel per offset group.
+    # (With python loops the per-iteration executable held hundreds of
+    # embedded kernel copies and overflowed the executable serializer.)
+    def view_body(_, view_in):
+        Av, bv, srcv, src_blocksv, validv = view_in
         u = jnp.einsum("ij,hwj->hwi", Av, rays) - bv * mr[..., None]
         Ac0 = Av @ scene.k1inv_c0
         Ac1 = Av @ scene.k1inv_c1
         ax = Ac0 - bv * mc0[..., None]                      # [H, W2, 3]
         ay = Ac1 - bv * mc1[..., None]
+
+        def sample(xw, yw):
+            if params.use_pallas_sampler:
+                return bilinear_sample_blocks(
+                    src_blocksv, xw, yw,
+                    interpret=jax.default_backend() == "cpu")
+            return bilinear_sample(srcv, xw, yw)            # [H, W2, 3C]
+
+        if census:
+            # Warped center intensity (censusTransform_Arma_cu:429-430).
+            xw0 = u[..., 0] / u[..., 2]
+            yw0 = u[..., 1] / u[..., 2]
+            src_center = jnp.mean(sample(xw0, yw0)[..., :C], axis=-1)
+            ref_center_m = jnp.mean(ref_center, axis=-1)
+
         acc = jnp.zeros(d.shape, dtype=d.dtype)
         for dx_parity, offs in groups.items():
             if not offs:
                 continue
             offs_arr = jnp.asarray(np.asarray(offs, dtype=np.int32))
 
-            def step(acc, off, *, _ax=ax, _ay=ay, _u=u, _v=v,
+            def step(acc, off, *, _ax=ax, _ay=ay, _u=u,
                      _dx_parity=dx_parity):
                 dxi, dyi = off[0], off[1]
                 dxf = dxi.astype(d.dtype)
@@ -139,11 +185,17 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
                 pos = _u + dxf * _ax[..., :] + dyf * _ay[..., :]
                 xw = pos[..., 0] / pos[..., 2]
                 yw = pos[..., 1] / pos[..., 2]
-                smp = bilinear_sample(scene.src[_v], xw, yw)  # [H, W2, 3C]
+                smp = sample(xw, yw)
                 src_i = smp[..., :C]
+                ref_i = scene.ref_img.shifted_dyn(dyi, dxi, parity, _dx_parity)
+                if census:
+                    bit_l = _census_bits(ref_center_m, jnp.mean(ref_i, -1),
+                                         params.census_epsilon)
+                    bit_r = _census_bits(src_center, jnp.mean(src_i, -1),
+                                         params.census_epsilon)
+                    return acc + (bit_l != bit_r).astype(acc.dtype), None
                 src_gx = smp[..., C:2 * C]
                 src_gy = smp[..., 2 * C:]
-                ref_i = scene.ref_img.shifted_dyn(dyi, dxi, parity, _dx_parity)
                 ref_gx = scene.ref_gx.shifted_dyn(dyi, dxi, parity, _dx_parity)
                 ref_gy = scene.ref_gy.shifted_dyn(dyi, dxi, parity, _dx_parity)
                 # Bilateral weight (weight_cu, gipuma.cu:186-193).
@@ -158,9 +210,14 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
         # Invalid-view guard (gipuma.cu:770-775): NaN or >= MAXCOST; padded
         # views are always invalid.
         acc = jnp.where(jnp.isnan(acc) | (acc >= MAXCOST)
-                        | (scene.view_valid[v] == 0.0), MAXCOST, acc)
-        out.append(acc)
-    return jnp.stack(out, axis=0)
+                        | (validv == 0.0), MAXCOST, acc)
+        return None, acc
+
+    del view_indices  # views are always all (stacked) views now
+    _, out = jax.lax.scan(
+        view_body, None,
+        (scene.A, scene.b, scene.src, scene.src_blocks, scene.view_valid))
+    return out
 
 
 def combine_view_costs(costs: jnp.ndarray, params: AlgorithmParams) -> jnp.ndarray:

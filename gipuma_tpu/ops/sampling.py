@@ -39,12 +39,12 @@ def bilinear_sample_slicegather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     on TPU v5e.
     """
     H, W, C = img.shape
-    x = jnp.clip(x, 0.0, W - 1.000001)
-    y = jnp.clip(y, 0.0, H - 1.000001)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    x = jnp.clip(x, 0.0, float(W - 1))
+    y = jnp.clip(y, 0.0, float(H - 1))
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
     idx = jnp.stack([y0.astype(jnp.int32), x0.astype(jnp.int32)], axis=-1)
     flat_idx = idx.reshape(-1, 2)
     dn = lax.GatherDimensionNumbers(
@@ -65,14 +65,15 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     Returns [..., C].
     """
     H, W, C = img.shape
-    x = jnp.clip(x, 0.0, W - 1.000001)
-    y = jnp.clip(y, 0.0, H - 1.000001)
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
+    # Clamp-to-edge via integer-index clamping (a float epsilon below W-1 is
+    # not representable in f32 for W ~ 2000 and would round up, sending the
+    # +1 taps out of bounds).
+    x = jnp.clip(x, 0.0, float(W - 1))
+    y = jnp.clip(y, 0.0, float(H - 1))
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
     flat = img.reshape(H * W, C)
     i00 = y0 * W + x0
     v00 = jnp.take(flat, i00, axis=0)

@@ -51,7 +51,8 @@ def _scene_specs(scene: ScenePack, batched: bool) -> ScenePack:
                          is_leaf=lambda x: not isinstance(x, (ScenePack,)) and
                          not hasattr(x, "tree_flatten"))
     # tree.map recursed into PaddedEO pytrees fine; now override view leaves.
-    return specs._replace(src=view, A=view, b=view, view_valid=view)
+    return specs._replace(src=view, A=view, b=view, view_valid=view,
+                          src_blocks=view)
 
 
 def run_patchmatch_view_sharded(scene: ScenePack, params: AlgorithmParams,
@@ -116,6 +117,7 @@ def pad_scene_views_batched(scenes: ScenePack, multiple: int) -> ScenePack:
 
     return scenes._replace(
         src=pad1(scenes.src), A=pad1(scenes.A), b=pad1(scenes.b),
+        src_blocks=pad1(scenes.src_blocks),
         view_valid=jnp.concatenate(
             [scenes.view_valid,
              jnp.zeros(scenes.view_valid.shape[:1] + (pad,),

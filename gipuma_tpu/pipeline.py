@@ -34,11 +34,25 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _jitted_job(scene, params, key):
-    """One full depth-map job, jitted once per (shape, params) combination —
-    successive reference views of the same dataset reuse the executable."""
+def _jitted_job_fused(scene, params, key):
     state = run_patchmatch(scene, params, key)
     return finalize(state, scene)
+
+
+_jitted_finalize = jax.jit(finalize)
+
+
+def _jitted_job(scene, params, key):
+    """One full depth-map job; executables cached per (shape, params).
+
+    With the Pallas sampler the sub-sweeps are dispatched from the host
+    (fusing all six into one TPU executable trips a runtime kernel fault);
+    otherwise the whole job is one fused jit."""
+    if params.use_pallas_sampler:
+        from .models.patchmatch import run_patchmatch_host_loop
+        state = run_patchmatch_host_loop(scene, params, key)
+        return _jitted_finalize(state, scene)
+    return _jitted_job_fused(scene, params, key)
 
 
 @dataclasses.dataclass

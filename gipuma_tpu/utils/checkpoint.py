@@ -1,0 +1,79 @@
+"""Checkpoint / warm-start for PatchMatch state.
+
+The reference parses an ``--initial_seed`` flag but never implemented it
+(main.cpp:394-395, 819-823 — literally "// TODO").  Here it works:
+
+* save/load the full PMState (planes + cost + PRNG key) as .npz — an exact
+  resume point mid-run;
+* warm-start from depth + normal maps (e.g. a previous run's disp.dmb /
+  normals.dmb, or a downsampled/coarse pass): rebuilds the plane field and
+  recomputes costs, so PatchMatch continues from the given geometry instead
+  of random init.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlgorithmParams
+from ..geometry import transforms as T
+from ..models.patchmatch import PMState
+from ..ops import checkerboard as cb
+from ..ops.cost import ScenePack, multiview_cost
+
+
+def save_state(path: str | os.PathLike, state: PMState) -> None:
+    np.savez_compressed(path, planes=np.asarray(state.planes),
+                        cost=np.asarray(state.cost),
+                        key=np.asarray(state.key))
+
+
+def load_state(path: str | os.PathLike) -> PMState:
+    z = np.load(path)
+    return PMState(planes=jnp.asarray(z["planes"]),
+                   cost=jnp.asarray(z["cost"]),
+                   key=jnp.asarray(z["key"]))
+
+
+def warm_start(scene: ScenePack, params: AlgorithmParams, key,
+               depth: np.ndarray, normals_world: np.ndarray,
+               cost_fn=multiview_cost) -> PMState:
+    """Build a PMState from existing depth + world-frame normal maps.
+
+    Inverse of models.patchmatch.finalize: rotates normals back into the
+    rebased reference frame (R_orig_inv^-1 = R_orig), recomputes plane
+    distances, flips normals onto the visible hemisphere, and evaluates the
+    multiview cost of the given geometry.  Pixels with invalid depth
+    (<= 0 / non-finite) get a fronto-parallel plane at the depth-range
+    midpoint and will be repaired by subsequent propagation sweeps.
+    """
+    h, w = scene.rays.shape[:2]
+    x, y = T.pixel_grid(h, w)
+
+    depth = jnp.asarray(np.asarray(depth, np.float32))
+    n_world = jnp.asarray(np.asarray(normals_world, np.float32))
+    R_orig = jnp.linalg.inv(scene.R_orig_inv)
+    n = jnp.einsum("ij,hwj->hwi", R_orig, n_world)
+    n = T.normalize(n, eps=1e-20)
+    n = T.flip_to_hemisphere(n, scene.view_vec)
+
+    valid = jnp.isfinite(depth) & (depth > 0)
+    mid = 0.5 * (scene.depth_min + scene.depth_max)
+    depth = jnp.where(valid, depth, mid)
+    fallback = T.flip_to_hemisphere(
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], n.dtype), n.shape),
+        scene.view_vec)
+    n = jnp.where(valid[..., None], n, fallback)
+
+    d = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n, x, y, depth)
+    planes = jnp.concatenate([n, d[..., None]], axis=-1)
+
+    cost = jnp.zeros((h, w), planes.dtype)
+    for parity in (0, 1):
+        c = cost_fn(scene, params, parity,
+                    cb.extract(n, parity), cb.extract(d, parity))
+        cost = cb.interleave(cost, c, parity)
+    return PMState(planes=planes, cost=cost, key=key)
