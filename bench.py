@@ -2,8 +2,7 @@
 
 Workload: dinoSparseRing-scale synthetic scene (640x480, 6 source views,
 box 11, 8 iterations — the Middlebury preset of scripts/dino.sh:8-24,
-BASELINE.json config 1) run end-to-end (init + all iterations + finalize)
-on the available accelerator.
+BASELINE.json config 1) run end-to-end (init + all iterations + finalize).
 
 Baseline: the reference publishes no in-tree numbers (BASELINE.md); the
 ICCV'15 paper-era figure is ~2.7 s for a 0.3 MP view on a consumer GPU
@@ -27,8 +26,7 @@ def main() -> int:
 
     from gipuma_tpu.config import PRESETS
     from gipuma_tpu.geometry.camera import FAKE_BASELINE
-    from gipuma_tpu.models.patchmatch import (finalize, run_patchmatch,
-                                              run_patchmatch_host_loop)
+    from gipuma_tpu.models.patchmatch import finalize, init_state, iteration
     from gipuma_tpu.models.scene import build_scene
     from gipuma_tpu.utils.synthetic import plane_scene
 
@@ -36,30 +34,28 @@ def main() -> int:
     images, rig, _, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
                                     plane_depth=5.0, slant=(0.2, -0.1))
     depth_min, depth_max = 3.0, 8.0
-    use_pallas = jax.default_backend() != "cpu"
-    params = PRESETS["middlebury"].replace(seed=0, use_pallas_sampler=use_pallas)
+    params = PRESETS["middlebury"].replace(seed=0)
     params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
     scene = build_scene(images, rig, list(range(1, n_views)), params,
                         depth_min, depth_max)
 
-    key = jax.random.PRNGKey(0)
-    jfin = jax.jit(finalize)
+    # Host loop over iteration-level jits: robust against executable-size
+    # limits of fully fused multi-iteration programs on the TPU runtime.
+    jinit = jax.jit(lambda k: init_state(scene, params, k))
+    jiter = jax.jit(lambda s: iteration(s, scene, params))
+    jfin = jax.jit(lambda s: finalize(s, scene))
 
-    if use_pallas:
-        # Host-dispatched sub-sweeps (see run_patchmatch_host_loop).
-        def job(k):
-            state = run_patchmatch_host_loop(scene, params, k)
-            return jfin(state, scene)[0]
-    else:
-        jitted_all = jax.jit(lambda k: finalize(
-            run_patchmatch(scene, params, k), scene)[0])
-        job = jitted_all
+    def job(k):
+        st = jinit(k)
+        for _ in range(params.iterations):
+            st = jiter(st)
+        return jfin(st)[0]
 
     # Warmup / compile.
-    d = jax.block_until_ready(job(key))
+    d = jax.block_until_ready(job(jax.random.PRNGKey(0)))
     assert np.isfinite(np.asarray(d)).all()
 
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for i in range(reps):
         d = job(jax.random.PRNGKey(i + 1))

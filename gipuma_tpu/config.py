@@ -66,6 +66,11 @@ class AlgorithmParams:
     # gipuma.cu:36-38). The default reference build is SMALLKERNEL: a
     # close sweep (±1), a far sweep (±5), and a refinement sweep.
     far_propagation: bool = True       # ±5 "surface normal diffusion" sweep
+    # "small": separate close (±1) / far (±5) sweeps — the reference's
+    # default SMALLKERNEL + EXTRAPOINTFAR build (gipuma.cu:25-38).
+    # "monolithic": one sweep with ±1/±3/±5 axial plus the EXTRAPOINT2
+    # diagonal offsets (gipuma_checkerboard_cu, gipuma.cu:1122-1351).
+    propagation_variant: str = "small"
     refine_delta_z_floor: float = 0.01  # gipuma.cu:959 loop lower bound
     refine_delta_z_div: float = 10.0    # gipuma.cu:959 deltaZ shrink factor
     refine_delta_n_init: float = 1.0    # gipuma.cu:945

