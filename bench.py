@@ -41,15 +41,18 @@ def main() -> int:
 
     # Host loop over iteration-level jits: robust against executable-size
     # limits of fully fused multi-iteration programs on the TPU runtime.
-    jinit = jax.jit(lambda k: init_state(scene, params, k))
-    jiter = jax.jit(lambda s: iteration(s, scene, params))
-    jfin = jax.jit(lambda s: finalize(s, scene))
+    # Scene passed as an argument (closures bake the image tables into the
+    # program as constants and overflow the compile-request size at DTU
+    # resolutions).
+    jinit = jax.jit(lambda sc, k: init_state(sc, params, k))
+    jiter = jax.jit(lambda st, sc: iteration(st, sc, params))
+    jfin = jax.jit(lambda st, sc: finalize(st, sc))
 
     def job(k):
-        st = jinit(k)
+        st = jinit(scene, k)
         for _ in range(params.iterations):
-            st = jiter(st)
-        return jfin(st)[0]
+            st = jiter(st, scene)
+        return jfin(st, scene)[0]
 
     # Warmup / compile.
     d = jax.block_until_ready(job(jax.random.PRNGKey(0)))

@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute a depth map for every view (scripts loop)")
     p.add_argument("--fuse", action="store_true",
                    help="fuse the per-view depth maps (fusibile stage)")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="resume: skip views whose disp.dmb already exists")
     p.add_argument("--disp_thresh", type=float, default=0.5)
     p.add_argument("--normal_thresh", type=float, default=30.0)
     p.add_argument("--num_consistent", type=int, default=3)
@@ -124,7 +126,8 @@ def main(argv=None) -> int:
                         calib_file=args.calib_file,
                         pmvs_folder=args.pmvs_folder,
                         ref_indices=ref_indices,
-                        color=args.color_processing)
+                        color=args.color_processing,
+                        skip_existing=args.skip_existing)
     for r in results:
         print(f"{r.ref_name}: {r.runtime_s:.2f}s, views={r.view_subset}, "
               f"depth=[{r.depth_min:.3f},{r.depth_max:.3f}]")
@@ -133,11 +136,15 @@ def main(argv=None) -> int:
         from .eval.metrics import depth_error
         from .io.dmb import read_dmb
         from .io.pfm import read_pfm
+        from .io.vis import save_png
         gt = (read_dmb(args.gt) if args.gt.endswith(".dmb")
               else read_pfm(args.gt))
         rep = depth_error(results[0].depth, np.asarray(gt), tol=args.gt_tol)
         print(f"GT error rate @{args.gt_tol}: {rep.error_rate:.4f} "
               f"(mean abs {rep.mean_abs_error:.4f})")
+        # Error-map PNG (groundTruthUtils capability, main.cpp:1123-1139).
+        err_png = (rep.error_map * 255).astype(np.uint8)
+        save_png(out_root / "gt_error.png", err_png)
 
     if args.fuse:
         from .fusion.fuse import fuse_depthmaps

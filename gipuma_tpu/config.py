@@ -71,6 +71,7 @@ class AlgorithmParams:
     # "monolithic": one sweep with ±1/±3/±5 axial plus the EXTRAPOINT2
     # diagonal offsets (gipuma_checkerboard_cu, gipuma.cu:1122-1351).
     propagation_variant: str = "small"
+    refine: bool = True                # disable for propagation-only ablations
     refine_delta_z_floor: float = 0.01  # gipuma.cu:959 loop lower bound
     refine_delta_z_div: float = 10.0    # gipuma.cu:959 deltaZ shrink factor
     refine_delta_n_init: float = 1.0    # gipuma.cu:945

@@ -68,10 +68,13 @@ MONOLITHIC_OFFSETS = (
 
 
 def _active_coords(scene: ScenePack, parity: int):
+    """Active-pixel coordinates in GLOBAL image space (row_offset shifts a
+    tile shard's local rows; checkerboard parity is preserved because tile
+    sharding uses even row offsets)."""
     h = scene.rays.shape[0]
     w2 = scene.rays.shape[1] // 2
     x = cb.active_x(h, w2, parity)
-    y = cb.active_y(h, w2)
+    y = cb.active_y(h, w2) + scene.row_offset.astype(jnp.float32)
     return x, y
 
 
@@ -89,6 +92,7 @@ def init_state(scene: ScenePack, params: AlgorithmParams, key,
     plane distance, initial multiview cost (gipuma_init_cu2)."""
     h, w = scene.rays.shape[:2]
     x, y = T.pixel_grid(h, w)
+    y = y + scene.row_offset.astype(y.dtype)
     k_disp, k_norm, key = jax.random.split(key, 3)
 
     disp = jax.random.uniform(
@@ -137,21 +141,32 @@ def _fold_better(scene, params, parity, x, y,
 
 
 def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
-                      parity: int, offsets, cost_fn=multiview_cost) -> PMState:
-    """One checkerboard propagation sub-sweep over the given neighbor offsets."""
+                      parity: int, offsets, cost_fn=multiview_cost,
+                      halo_planes=None) -> PMState:
+    """One checkerboard propagation sub-sweep over the given neighbor offsets.
+
+    halo_planes: optional row-extended plane array [H + 2*pad, W, 4] whose
+    first/last `pad` rows came from neighboring tile shards (see
+    parallel/tiled.py); None = single-tile edge replication."""
     h, w = state.cost.shape
     w2 = w // 2
     x, y = _active_coords(scene, parity)
 
     pad = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
-    planes_eo = cb.PaddedEO.build(state.planes, pad, pad + 2)
+    if halo_planes is not None:
+        # Tile-sharded: neighbor rows come from the adjacent shards
+        # (exchanged over ICI), not edge replication.
+        planes_eo = cb.PaddedEO.build_row_padded(halo_planes, pad, pad + 2)
+    else:
+        planes_eo = cb.PaddedEO.build(state.planes, pad, pad + 2)
 
+    g_h = scene.global_h.astype(y.dtype)
     cand_n, cand_d, cand_ok = [], [], []
     for dy, dx in offsets:
         cand = planes_eo.shifted(dy, dx, parity)             # [H, W2, 4]
         cand_n.append(cand[..., :3])
         cand_d.append(cand[..., 3])
-        ok = ((y + dy >= 0) & (y + dy <= h - 1) &
+        ok = ((y + dy >= 0) & (y + dy <= g_h - 1) &
               (x + dx >= 0) & (x + dx <= w - 1))
         cand_ok.append(ok)
     cand_n = jnp.stack(cand_n)
@@ -261,7 +276,9 @@ def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams,
             if params.far_propagation:
                 state = propagation_sweep(state, scene, params, parity,
                                           FAR_OFFSETS, cost_fn=cost_fn)
-        state = refinement_sweep(state, scene, params, parity, cost_fn=cost_fn)
+        if params.refine:
+            state = refinement_sweep(state, scene, params, parity,
+                                     cost_fn=cost_fn)
     return state
 
 
@@ -322,6 +339,7 @@ def finalize(state: PMState, scene: ScenePack) -> tuple[jnp.ndarray, jnp.ndarray
     cost [H,W]); depth is 0 where the pixel never found a valid view."""
     h, w = state.cost.shape
     x, y = T.pixel_grid(h, w)
+    y = y + scene.row_offset.astype(y.dtype)
     n = state.planes[..., :3]
     d = state.planes[..., 3]
     depth = T.depth_from_plane(n, d, x, y, scene.fx, scene.cx, scene.cy,

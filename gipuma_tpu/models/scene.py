@@ -121,6 +121,8 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
         src_blocks=src_blocks,
         texture_ok=_texture_mask(ref_j, params) if params.no_texture_check
         else jnp.ones((h, w), bool),
+        row_offset=jnp.asarray(0, jnp.int32),
+        global_h=jnp.asarray(h, jnp.int32),
     )
 
 

@@ -81,6 +81,19 @@ class PaddedEO:
         ap = jnp.pad(a, pad, mode="edge")
         return PaddedEO(E=ap[:, 0::2], O=ap[:, 1::2], pr=pr, pc=pc, h=h, w2=w // 2)
 
+    @staticmethod
+    def build_row_padded(a_ext: jnp.ndarray, pr: int, pc: int) -> "PaddedEO":
+        """Like `build`, but `a_ext` already carries pr real halo rows on
+        each side (tile sharding); only columns are edge-padded."""
+        if pc % 2:
+            pc += 1
+        h_ext, w = a_ext.shape[:2]
+        assert w % 2 == 0
+        pad = [(0, 0), (pc, pc)] + [(0, 0)] * (a_ext.ndim - 2)
+        ap = jnp.pad(a_ext, pad, mode="edge")
+        return PaddedEO(E=ap[:, 0::2], O=ap[:, 1::2], pr=pr, pc=pc,
+                        h=h_ext - 2 * pr, w2=w // 2)
+
     def shifted(self, dy: int, dx: int, parity: int) -> jnp.ndarray:
         """[H, W2(, C)] values of the source array at (y + dy, x + dx) for all
         active pixels (y, x) of the given parity.  Out-of-image accesses

@@ -81,6 +81,11 @@ class ScenePack(NamedTuple):
     # pixel is excluded (NOTEXTURE_CHECK, gipuma.cu:520-584,1209-1234).
     # All-True when the check is disabled.
     texture_ok: jnp.ndarray
+    # Spatial (tile) sharding support: this shard's first image row in
+    # global coordinates, and the global image height.  0 / H when the
+    # scene is unsharded.  Pixel y-coordinates are always global.
+    row_offset: jnp.ndarray
+    global_h: jnp.ndarray
 
     @property
     def num_views(self) -> int:
@@ -159,7 +164,11 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
         ax = Ac0 - bv * mc0[..., None]                      # [H, W2, 3]
         ay = Ac1 - bv * mc1[..., None]
 
-        h_img, w_img = scene.rays.shape[:2]
+        # Source images are GLOBAL even when the reference rows are tile-
+        # sharded: height from global_h (traced), width from the (full-
+        # width) rays array.
+        h_img = scene.global_h
+        w_img = scene.rays.shape[1]
 
         def sample(xw, yw):
             if params.use_pallas_sampler:

@@ -57,10 +57,13 @@ def bilinear_sample_packed(packed: jnp.ndarray, x: jnp.ndarray,
     packed: [H*W, 4*C]; x, y: [...]. Returns [..., C]. Exactly equivalent
     to `bilinear_sample` on the original image."""
     C = packed.shape[1] // 4
+    # h may be a traced scalar (tile-sharded scenes pass global_h).
+    h1 = jnp.asarray(h - 1, x.dtype)
     x = jnp.clip(x, 0.0, float(w - 1))
-    y = jnp.clip(y, 0.0, float(h - 1))
+    y = jnp.clip(y, 0.0, h1)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0,
+                  jnp.asarray(h - 2, jnp.int32))
     fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
     rows = jnp.take(packed, y0 * w + x0, axis=0)       # [..., 4C]

@@ -160,8 +160,15 @@ def run_batch(image_paths: Sequence[str], params: AlgorithmParams,
               p_folder: str | None = None, krt_file: str | None = None,
               calib_file: str | None = None, pmvs_folder: str | None = None,
               ref_indices: Sequence[int] | None = None,
-              color: bool = False) -> list[RunResult]:
-    """Loop reference views in-process (replaces scripts/*.sh shell loops)."""
+              color: bool = False,
+              skip_existing: bool = False) -> list[RunResult]:
+    """Loop reference views in-process (replaces scripts/*.sh shell loops).
+
+    skip_existing: resume a partially-finished batch — views whose output
+    directory already holds a disp.dmb are skipped (the coarse restart
+    property the reference gets from its process-per-view scripting,
+    SURVEY.md §5 "failure detection").
+    """
     names = [Path(p).name for p in image_paths]
     Ps = calib_io.load_projection_matrices(
         names, p_folder=p_folder, krt_file=krt_file,
@@ -170,11 +177,22 @@ def run_batch(image_paths: Sequence[str], params: AlgorithmParams,
     if ref_indices is None:
         ref_indices = range(len(images))
 
+    if pmvs_folder and params.depth_min == -1:
+        # Bundler point cloud drives the depth range (main.cpp:873-876).
+        bundle = Path(pmvs_folder) / "bundle.rd.out"
+        if bundle.exists():
+            from .geometry.camera import camera_center_from_P
+            dmin, dmax = calib_io.bundler_depth_range(
+                bundle, camera_center_from_P(np.asarray(Ps[0])))
+            params = params.replace(depth_min=dmin, depth_max=dmax)
+
     results = []
     root = Path(results_root)
     for ref in ref_indices:
-        res = compute_depthmap(images, Ps, params, names, ref_index=ref)
         out_dir = root / f"{Path(names[ref]).stem}"
+        if skip_existing and (out_dir / "disp.dmb").exists():
+            continue
+        res = compute_depthmap(images, Ps, params, names, ref_index=ref)
         write_outputs(res, out_dir, params, ref_image=images[ref],
                       P_ref=build_rig([Ps[ref]] + [Ps[i] for i in range(len(Ps)) if i != ref],
                                       rebase=True).cameras[0].P)
