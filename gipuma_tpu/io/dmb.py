@@ -16,6 +16,10 @@ _HEADER = struct.Struct("<iiii")
 
 def read_dmb(path: str | os.PathLike) -> np.ndarray:
     """Read a .dmb file -> [h, w] (nb==1) or [h, w, nb] float32 array."""
+    from .native import read_dmb_native
+    out = read_dmb_native(path)
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         dtype_tag, h, w, nb = _HEADER.unpack(f.read(16))
         if dtype_tag != 1:
@@ -36,6 +40,9 @@ def write_dmb(path: str | os.PathLike, arr: np.ndarray) -> None:
         h, w, nb = arr.shape
     else:
         raise ValueError(f"dmb arrays are 2-D or 3-D, got shape {arr.shape}")
+    from .native import write_dmb_native
+    if write_dmb_native(path, arr):
+        return
     with open(path, "wb") as f:
         f.write(_HEADER.pack(1, h, w, nb))
         f.write(np.ascontiguousarray(arr, dtype="<f4").tobytes())

@@ -82,7 +82,16 @@ def write_ply(path: str | os.PathLike, depth: np.ndarray, normals: np.ndarray,
 def write_ply_points(path: str | os.PathLike, points: np.ndarray,
                      normals: np.ndarray, colors: np.ndarray,
                      binary: bool = True) -> int:
-    """Write an unstructured point list [N,3] (+normals [N,3], colors [N,3])."""
+    """Write an unstructured point list [N,3] (+normals [N,3], colors [N,3]).
+
+    Binary writes go through the native C++ path when available (the
+    reference keeps this hot path native too; displayUtils.h:77-237)."""
+    if binary:
+        from .native import write_ply_native
+        n = write_ply_native(path, np.asarray(points), np.asarray(normals),
+                             np.asarray(colors))
+        if n is not None:
+            return n
     points = np.asarray(points)
     n = points.shape[0]
     out = np.empty(n, dtype=[

@@ -106,3 +106,42 @@ def test_bundler_range(tmp_path):
     dmin, dmax = calib.bundler_depth_range(f, np.zeros(3))
     assert dmin == pytest.approx(2 * 0.6)
     assert dmax == pytest.approx(10 * 1.2)
+
+
+def test_native_io_roundtrip(tmp_path, rng):
+    """Native C++ IO (when g++ builds) matches the python path exactly."""
+    from gipuma_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    a = rng.normal(size=(9, 7, 3)).astype(np.float32)
+    p = tmp_path / "n.dmb"
+    assert native.write_dmb_native(p, a)
+    np.testing.assert_array_equal(native.read_dmb_native(p), a)
+
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    col = rng.uniform(0, 255, size=(100, 3)).astype(np.float32)
+    pply = tmp_path / "n.ply"
+    n = native.write_ply_native(pply, pts, nrm, col)
+    assert n == 100
+    rp, rn, rc = ply.read_ply(pply)
+    np.testing.assert_allclose(rp, pts, rtol=1e-6)
+    np.testing.assert_allclose(rn, nrm, rtol=1e-6)
+    np.testing.assert_array_equal(rc, np.clip(col, 0, 255).astype(np.uint8))
+
+
+def test_dmb_python_native_same_bytes(tmp_path, rng):
+    from gipuma_tpu.io import native
+    a = rng.normal(size=(5, 6)).astype(np.float32)
+    p1 = tmp_path / "py.dmb"
+    # force python path
+    import gipuma_tpu.io.dmb as dmb_mod
+    import struct
+    with open(p1, "wb") as f:
+        f.write(struct.pack("<iiii", 1, 5, 6, 1))
+        f.write(a.astype("<f4").tobytes())
+    if native.available():
+        p2 = tmp_path / "nat.dmb"
+        native.write_dmb_native(p2, a)
+        assert p1.read_bytes() == p2.read_bytes()
