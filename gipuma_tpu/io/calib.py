@@ -84,6 +84,19 @@ def read_calib_file_kitti(path: str | os.PathLike) -> tuple[np.ndarray, np.ndarr
     return Ps[0], Ps[1]
 
 
+def read_calib_file_daisy(path: str | os.PathLike) -> np.ndarray:
+    """DAISY calibration: the projection matrix is on the line starting with
+    'p' (readCalibFileDaisy, fileIoUtils.h:154-165)."""
+    with open(path) as f:
+        for line in f:
+            if line.strip().startswith("p"):
+                vals = _floats(line.split(":", 1)[-1] if ":" in line
+                               else line.lstrip("p "))
+                if len(vals) >= 12:
+                    return np.array(vals[:12]).reshape(3, 4)
+    raise ValueError(f"{path}: no projection line found")
+
+
 def read_camera_file_strecha(path: str | os.PathLike) -> float:
     """First value of a Strecha camera file = focal length
     (readCameraFileStrecha, fileIoUtils.h:73-82)."""

@@ -145,3 +145,10 @@ def test_dmb_python_native_same_bytes(tmp_path, rng):
         p2 = tmp_path / "nat.dmb"
         native.write_dmb_native(p2, a)
         assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_read_daisy(tmp_path):
+    f = tmp_path / "cam.txt"
+    f.write_text("# comment\np " + " ".join(str(v) for v in range(12)) + "\n")
+    P = calib.read_calib_file_daisy(f)
+    np.testing.assert_array_equal(P, np.arange(12).reshape(3, 4))
