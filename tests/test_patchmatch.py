@@ -66,3 +66,32 @@ def test_iterations_reduce_cost():
     m0 = float(jnp.mean(s0.cost))
     m2 = float(jnp.mean(s2.cost))
     assert m2 < 0.5 * m0, f"mean cost {m0:.3f} -> {m2:.3f}"
+
+
+def test_two_plane_scene_discontinuity():
+    """Depth discontinuities: both planes recovered, boundary stays sharp."""
+    from gipuma_tpu.utils.synthetic import two_plane_scene
+    images, rig, gt_depth, near_mask = two_plane_scene(
+        num_cams=5, h=48, w=64, focal=100.0)
+    params = AlgorithmParams(
+        box_hsize=9, box_vsize=9, iterations=4, n_best=2,
+    ).with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
+    scene = build_scene(images, rig, [1, 2, 3, 4], params, 3.0, 8.0)
+    state = run_patchmatch(scene, params, jax.random.PRNGKey(0))
+    depth, normals, cost = map(np.asarray, finalize(state, scene))
+
+    interior = np.zeros_like(near_mask)
+    interior[8:-8, 8:-8] = True
+    # Exclude a 3px band at the discontinuity (windows straddle it).
+    edge = np.abs(np.diff(near_mask.astype(int), axis=1)).sum(0).nonzero()[0]
+    band = np.zeros_like(near_mask)
+    if len(edge):
+        x0 = int(edge[0])
+        band[:, max(0, x0 - 3):x0 + 4] = True
+    ok = interior & ~band
+    err = np.abs(depth[ok] - gt_depth[ok]) / gt_depth[ok]
+    assert np.median(err) < 0.01
+    # Each side individually accurate.
+    for mask in (near_mask & ok, (~near_mask) & ok):
+        e = np.abs(depth[mask] - gt_depth[mask]) / gt_depth[mask]
+        assert np.median(e) < 0.01, f"side failed: median {np.median(e)}"
