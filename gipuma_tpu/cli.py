@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0,
                    help="PRNG seed (the reference's unimplemented "
                         "--initial_seed, main.cpp:394; here it works)")
+    p.add_argument("--cost_path", choices=["exact", "rect"], default=None,
+                   help="cost evaluation path: exact reference formulas or "
+                        "the rectified row-aligned TPU fast path")
     # Batch + fusion (scripts layer capability)
     p.add_argument("--all_views", action="store_true",
                    help="compute a depth map for every view (scripts loop)")
@@ -83,7 +86,8 @@ def params_from_args(args) -> AlgorithmParams:
         over["box_vsize"] = args.blocksize
     for name in ("iterations", "tau_color", "tau_gradient", "alpha", "gamma",
                  "depth_min", "depth_max", "n_best", "good_factor",
-                 "min_angle", "max_angle", "max_views", "cam_scale", "seed"):
+                 "min_angle", "max_angle", "max_views", "cam_scale", "seed",
+                 "cost_path"):
         v = getattr(args, name, None)
         if v is not None:
             over[name] = v

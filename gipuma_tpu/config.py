@@ -101,6 +101,13 @@ class AlgorithmParams:
     # XLA gather fallback is ~30x slower; Pallas path requires the whole
     # source image to fit in VMEM — gated automatically by build_scene).
     use_pallas_sampler: bool = False
+    # Cost evaluation path: "exact" mirrors the reference formulas on the
+    # original pixel grid; "rect" evaluates on per-pair epipolar-rectified
+    # grids where source sampling is row-aligned (ops/rect_cost.py) —
+    # ~2 orders of magnitude faster on TPU, small documented deviations
+    # (window shape, rect-frame gradients).  Falls back to "exact" for
+    # rigs that cannot be row-rectified (forward-motion baselines).
+    cost_path: str = "exact"
 
     @property
     def box_hrad(self) -> int:

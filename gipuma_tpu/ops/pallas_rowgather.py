@@ -20,7 +20,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _row_gather_kernel(src_ref, x_ref, o_ref, *, H, W, NB, C, G):
+# Rows per grid step: bounds VMEM (the whole-array variant ran out of the
+# 16 MB scoped VMEM at DTU-rect shapes) and lets the pipeline overlap the
+# source-row DMA with compute.
+BLOCK_ROWS = 32
+
+
+def _row_gather_kernel(src_ref, x_ref, o_ref, *, W, NB, C, G):
     # Per [8, 128] tile of samples: the needed source rows are exactly the
     # tile's own rows; only the x-block range is dynamic (scalar-predicated).
     def group(gi, _):
@@ -49,21 +55,23 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, *, H, W, NB, C, G):
                     v0 * (1 - fx) + v1 * fx
         return 0
 
-    M = x_ref.shape[0]
-    jax.lax.fori_loop(0, M // 8, group, 0)
+    jax.lax.fori_loop(0, x_ref.shape[0] // 8, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _row_gather_call(src_chw, x, interpret=False):
     C, H, W = src_chw.shape
     M, WS = x.shape
-    kernel = functools.partial(_row_gather_kernel, H=H, W=W, NB=W // 128,
+    kernel = functools.partial(_row_gather_kernel, W=W, NB=W // 128,
                                C=C, G=WS // 128)
+    br = BLOCK_ROWS
     return pl.pallas_call(
         kernel,
+        grid=(M // br,),
+        in_specs=[pl.BlockSpec((C, br, W), lambda i: (0, i, 0)),
+                  pl.BlockSpec((br, WS), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((C, br, WS), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((C, M, WS), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(src_chw, x)
 
@@ -81,7 +89,7 @@ def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
     assert W % 128 == 0
     x = jnp.clip(x, 0.0, float(W - 1))
     pad_c = (-Ws) % 128
-    pad_r = (-M) % 8
+    pad_r = (-M) % BLOCK_ROWS
     if pad_c or pad_r:
         x = jnp.pad(x, ((0, pad_r), (0, pad_c)))
         src_chw = jnp.pad(src_chw, ((0, 0), (0, pad_r), (0, 0)))

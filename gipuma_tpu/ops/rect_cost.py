@@ -1,27 +1,44 @@
-"""Rectified-frame window cost — prototype of the round-2 fast path.
+"""Rectified-frame multiview cost — the fast TPU sampling path.
 
 Computes the bilaterally-weighted color+gradient window cost of plane
-hypotheses ON a rectified pair's pixel grid, where everything is dense:
+hypotheses ON per-pair rectified pixel grids, where everything is dense:
 
-* reference-side window reads and weights are static SHIFTS of the
-  rectified reference image (integer grid offsets);
+* reference-side window reads and weights are integer-grid shifts of the
+  rectified reference image;
 * the source read for window offset (i, j) sits on rect row ŷ+j (static
   shift) at column x̂+i − disp(x̂+i, ŷ+j), where disp is AFFINE in rect
   coordinates (geometry/rectify.py) — a row-aligned horizontal gather
-  (ops/pallas_rowgather.py, 35 G samples/s measured on v5e).
+  (ops/pallas_rowgather.py, 35 G samples/s measured on v5e, vs ~0.2 G for
+  the general XLA sampling path the exact engine uses);
+* the PatchMatch state stays on the reference grid; plane vectors m = n/d
+  are carried to each pair's rect grid — and per-view costs carried back —
+  by static 2-pass permutations (ops/permute2d.py) built once per pair.
 
-The caller supplies the plane field already expressed on the rect grid as
-disparity coefficients (a, b, c) per pixel — see
-geometry.rectify.plane_disparity_coeffs; mapping PatchMatch's reference-grid
-state to/from rect grids is the round-2 integration work (ROADMAP.md).
+Cost semantics vs the exact engine (ops/cost.py, itself mirroring
+pmCost/pmCostComputation, gipuma.cu:223-320,455-518) — deviations are
+deliberate and validated on the synthetic-GT suite (tests/test_rect_cost.py,
+tests/test_rect_engine.py):
+
+* the window is axis-aligned on the RECT grid (per-pair shape differs
+  slightly from the reference-grid window);
+* gradients are central differences in the RECT frames (a rotation of the
+  image-frame gradients, consistent between the two frames of a pair);
+* window centers evaluate at the rect pixel nearest the reference pixel's
+  rectified position (≤0.5 px offset).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import MAXCOST, AlgorithmParams
+from . import checkerboard as cb
+from .cost import ScenePack, combine_view_costs
 from .pallas_rowgather import row_gather
+from .permute2d import permute2d
 
 
 def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -82,3 +99,232 @@ def rect_window_cost(ref_rect: jnp.ndarray, ref_gx: jnp.ndarray,
         acc = acc + w * ((1.0 - alpha) * col + alpha * grad)
 
     return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+
+
+def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
+                   abc: jnp.ndarray, params: AlgorithmParams,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Window cost of one (reference, source) rectified pair, all pixels.
+
+    ref_chw, src_chw: [3C, Hr, Wr] rectified channels (C image channels,
+        then C x-gradients, then C y-gradients), Wr % 128 == 0;
+    abc: [3, Hr, Wr] per-pixel affine disparity coefficients in LOCAL rect
+        coordinates: disp = abc[0]*x̂ + abc[1]*ŷ + abc[2].
+
+    The window-offset loop is a lax.scan (dynamic slices of once-padded
+    inputs), so the compiled program holds ONE row_gather kernel instance
+    regardless of window size.
+    """
+    ch, hr, wr = ref_chw.shape
+    C = ch // 3
+    vr, hrad = params.box_vrad, params.box_hrad
+    ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
+    src_pad = jnp.pad(src_chw, ((0, 0), (vr, vr), (0, 0)), mode="edge")
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 0)
+    ref_center = ref_chw[:C]
+    inv_gamma = 1.0 / params.gamma
+    alpha = params.alpha
+    offs = jnp.asarray(np.asarray(params.window_offsets(), np.int32))
+
+    def _l1(x):
+        return jnp.mean(jnp.abs(x), axis=0)
+
+    def step(acc, off):
+        dx, dy = off[0], off[1]
+        dxf = dx.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        ref_w = jax.lax.dynamic_slice(ref_pad, (0, vr + dy, hrad + dx),
+                                      (ch, hr, wr))
+        # Disparity of the CENTER pixel's plane evaluated at the sample
+        # position (slanted-window PatchMatch semantics).
+        disp = abc[0] * (xg + dxf) + abc[1] * (yg + dyf) + abc[2]
+        xsrc = xg + dxf - disp
+        src_rows = jax.lax.dynamic_slice(src_pad, (0, vr + dy, 0),
+                                         (ch, hr, wr))
+        smp = row_gather(src_rows, xsrc, interpret=interpret)
+        w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
+        col = jnp.minimum(_l1(ref_w[:C] - smp[:C]), params.tau_color)
+        grad = jnp.minimum(
+            (_l1(ref_w[C:2 * C] - smp[C:2 * C])
+             + _l1(ref_w[2 * C:] - smp[2 * C:])) * 0.0625,
+            params.tau_gradient)
+        return acc + w * ((1.0 - alpha) * col + alpha * grad), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((hr, wr), jnp.float32), offs)
+    return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+
+
+class RectScene(NamedTuple):
+    """ScenePack + per-pair rectified data: the fast-path device state.
+
+    Exposes (via properties) every base-scene attribute the PatchMatch
+    engine reads, so it can be passed to the engine unchanged with
+    cost_fn = rect_multiview_cost.  All per-pair arrays are stacked over
+    the view axis, padded to a common rect shape [Hrp, Wrp] (Wrp % 128 == 0)
+    — garbage in the padding is never referenced by the tables.
+
+    rot_k: per-pair pre-rotation count.  Rectification of a pair whose
+    baseline is far from the reference x-axis contains a large in-plane
+    rotation, which a row/column 2-pass permutation cannot represent;
+    rotating the reference grid by k*90 deg first (an exact jnp.rot90, no
+    resampling) keeps the residual rotation within +-45 deg where the
+    table decomposition is clean.  S below = max(H, W): the rotated
+    reference grid is padded to a square so all four orientations share
+    one shape, one lax.scan, and (rot_k being a traced [V] array, the
+    un-rotation a lax.switch) one SPMD executable under view sharding.
+    """
+
+    base: ScenePack
+    ref_rect: jnp.ndarray   # [V, 3C, Hrp, Wrp] rect-ref channels
+    src_rect: jnp.ndarray   # [V, 3C, Hrp, Wrp] rect-src channels
+    L: jnp.ndarray          # [V, 3, 3]: abc_local = L @ m
+    # rotated-state -> rect permutation:
+    fwd_c1: jnp.ndarray     # [V, S, Wrp]
+    fwd_r: jnp.ndarray      # [V, Hrp, Wrp]
+    # rect -> rotated-reference-grid return permutation:
+    ret_c1: jnp.ndarray     # [V, Hrp, S]
+    ret_r: jnp.ndarray      # [V, S, S]
+    rot_k: jnp.ndarray      # [V] int32
+
+    # --- engine-facing delegation (models/patchmatch.py reads these) ---
+    @property
+    def rays(self):
+        return self.base.rays
+
+    @property
+    def view_vec(self):
+        return self.base.view_vec
+
+    @property
+    def f(self):
+        return self.base.f
+
+    @property
+    def baseline(self):
+        return self.base.baseline
+
+    @property
+    def fx(self):
+        return self.base.fx
+
+    @property
+    def cx(self):
+        return self.base.cx
+
+    @property
+    def cy(self):
+        return self.base.cy
+
+    @property
+    def alpha_focal(self):
+        return self.base.alpha_focal
+
+    @property
+    def M_inv(self):
+        return self.base.M_inv
+
+    @property
+    def P_col4(self):
+        return self.base.P_col4
+
+    @property
+    def R_orig_inv(self):
+        return self.base.R_orig_inv
+
+    @property
+    def depth_min(self):
+        return self.base.depth_min
+
+    @property
+    def depth_max(self):
+        return self.base.depth_max
+
+    @property
+    def texture_ok(self):
+        return self.base.texture_ok
+
+    @property
+    def row_offset(self):
+        return self.base.row_offset
+
+    @property
+    def global_h(self):
+        return self.base.global_h
+
+    @property
+    def view_valid(self):
+        return self.base.view_valid
+
+    @property
+    def num_views(self) -> int:
+        return self.ref_rect.shape[0]
+
+
+def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
+                        parity: int, n: jnp.ndarray, d: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Per-view costs on the rectified fast path: [V, H, W2].
+
+    n: [H, W2, 3], d: [H, W2] on the parity's active half-grid.  The view
+    axis is this function's sharding axis (parallel/sharded.py gathers the
+    per-view results over ICI before combination).
+    """
+    interpret = jax.default_backend() == "cpu"
+    m = n / d[..., None]                                   # [H, W2, 3]
+    # Column-duplicate the half-grid state to the full grid: each (2j, 2j+1)
+    # column pair holds active pixel j's value, so the parity-independent
+    # nearest-pixel tables always read the right plane.
+    m_full = jnp.repeat(m, 2, axis=1)                      # [H, W, 3]
+    m_chw = jnp.moveaxis(m_full, -1, 0)                    # [3, H, W]
+    h, w = m_full.shape[:2]
+    s = scene.fwd_c1.shape[-2]                             # S = max(H, W)
+
+    # All four grid orientations, square-padded so the per-view rotation
+    # choice is a traced index into one stacked array.
+    def rot_pad(k):
+        rk = jnp.rot90(m_chw, k=k, axes=(-2, -1))
+        return jnp.pad(rk, ((0, 0), (0, s - rk.shape[-2]),
+                            (0, s - rk.shape[-1])))
+    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, 3, S, S]
+
+    # Un-rotation branches (all produce [H, W]): crop the occupied corner
+    # first — rot90 of the padded square would move the padding to the
+    # leading side.  lax.switch keeps k traced, so one SPMD executable
+    # serves every view under sharding.
+    def unrot_branch(k):
+        def f(c_sq):
+            hk, wk = (w, h) if k % 2 else (h, w)
+            return jnp.rot90(c_sq[:hk, :wk], k=(-k) % 4, axes=(0, 1))
+        return f
+    unrot_branches = [unrot_branch(k) for k in range(4)]
+
+    def view_body(_, vin):
+        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, validv = vin
+        m_sel = jax.lax.dynamic_index_in_dim(m_rots, kv, axis=0,
+                                             keepdims=False)
+        m_rect = permute2d(m_sel, fc1, fr, interpret=interpret)
+        abc = jnp.einsum("ij,jhw->ihw", Lv, m_rect)        # [3, Hrp, Wrp]
+        cost_rect = rect_pair_cost(ref_r, src_r, abc, params,
+                                   interpret=interpret)
+        cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret)
+        cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)  # [H, W]
+        cost_act = cb.extract(cost_full, parity)           # [H, W2]
+        cost_act = jnp.where(jnp.isnan(cost_act) | (cost_act >= MAXCOST)
+                             | (validv == 0.0), MAXCOST, cost_act)
+        return None, cost_act
+
+    _, costs = jax.lax.scan(
+        view_body, None,
+        (scene.ref_rect, scene.src_rect, scene.L,
+         scene.fwd_c1, scene.fwd_r, scene.ret_c1, scene.ret_r,
+         scene.rot_k, scene.view_valid))
+    return costs
+
+
+def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
+                        parity: int, n: jnp.ndarray, d: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """pmCostMultiview on the rectified fast path — engine cost_fn."""
+    return combine_view_costs(
+        rect_per_view_costs(scene, params, parity, n, d), params)

@@ -28,39 +28,76 @@ from ..config import AlgorithmParams
 from ..models.patchmatch import PMState, run_patchmatch
 from ..models.scene import pad_scene_views
 from ..ops.cost import ScenePack, combine_view_costs, per_view_costs
+from ..ops.rect_cost import RectScene, rect_per_view_costs
 
 
 def view_sharded_cost_fn(axis_name: str = "view") -> Callable:
-    """multiview_cost drop-in: local per-view costs + ICI all-gather."""
+    """multiview_cost drop-in: local per-view costs + ICI all-gather.
+
+    Dispatches on the scene type, so the rectified fast path shards over
+    views exactly like the exact path."""
 
     def cost_fn(scene, params, parity, n, d):
-        local = per_view_costs(scene, params, parity, n, d)   # [V_local, ...]
+        per_view = (rect_per_view_costs if isinstance(scene, RectScene)
+                    else per_view_costs)
+        local = per_view(scene, params, parity, n, d)         # [V_local, ...]
         full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
         return combine_view_costs(full, params)
 
     return cost_fn
 
 
-def _scene_specs(scene: ScenePack, batched: bool) -> ScenePack:
-    """A ScenePack-shaped tree of PartitionSpecs: view-axis leaves sharded
+def _scene_specs(scene, batched: bool):
+    """A scene-shaped tree of PartitionSpecs: view-axis leaves sharded
     over 'view', everything else replicated (plus 'job' on the leading
-    batch dim when batched)."""
+    batch dim when batched).  Handles ScenePack and RectScene."""
     base = P("job") if batched else P()
     view = P("job", "view") if batched else P("view")
-    specs = jax.tree.map(lambda _: base, scene,
+    rect = isinstance(scene, RectScene)
+    pack = scene.base if rect else scene
+    specs = jax.tree.map(lambda _: base, pack,
                          is_leaf=lambda x: not isinstance(x, (ScenePack,)) and
                          not hasattr(x, "tree_flatten"))
     # tree.map recursed into PaddedEO pytrees fine; now override view leaves.
-    return specs._replace(src=view, A=view, b=view, view_valid=view,
-                          src_blocks=view)
+    specs = specs._replace(src=view, A=view, b=view, view_valid=view,
+                           src_blocks=view)
+    if rect:
+        specs = RectScene(base=specs, ref_rect=view, src_rect=view, L=view,
+                          fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
+                          rot_k=view)
+    return specs
 
 
-def run_patchmatch_view_sharded(scene: ScenePack, params: AlgorithmParams,
+def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
+    """pad_scene_views for a RectScene: base semantics plus repeating the
+    per-pair rect arrays (padded slots carry view_valid = 0 via the base)."""
+    V = scene.ref_rect.shape[0]
+    target = -(-V // multiple) * multiple
+    base = pad_scene_views(scene.base, multiple)
+    if target == V:
+        return scene._replace(base=base)
+
+    def pad0(a):
+        return jnp.concatenate(
+            [a, jnp.repeat(a[:1], target - V, axis=0)], axis=0)
+
+    return RectScene(base=base, ref_rect=pad0(scene.ref_rect),
+                     src_rect=pad0(scene.src_rect), L=pad0(scene.L),
+                     fwd_c1=pad0(scene.fwd_c1), fwd_r=pad0(scene.fwd_r),
+                     ret_c1=pad0(scene.ret_c1), ret_r=pad0(scene.ret_r),
+                     rot_k=pad0(scene.rot_k))
+
+
+def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
                                 key, mesh: Mesh) -> PMState:
     """Single depth-map job with the source-view axis sharded over the
-    mesh's 'view' axis (the 'job' axis, if present, is unused/replicated)."""
+    mesh's 'view' axis (the 'job' axis, if present, is unused/replicated).
+    Accepts a ScenePack (exact cost path) or RectScene (fast path)."""
     nview = mesh.shape["view"]
-    scene = pad_scene_views(scene, nview)
+    if isinstance(scene, RectScene):
+        scene = pad_rect_scene_views(scene, nview)
+    else:
+        scene = pad_scene_views(scene, nview)
     specs = _scene_specs(scene, batched=False)
     state_spec = PMState(planes=P(), cost=P(), key=P())
 

@@ -39,19 +39,34 @@ def _jitted_job_fused(scene, params, key):
     return finalize(state, scene)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _jitted_job_fused_rect(scene, params, key):
+    from .ops.rect_cost import rect_multiview_cost
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    return finalize(state, scene)
+
+
 _jitted_finalize = jax.jit(finalize)
 
 
 def _jitted_job(scene, params, key):
     """One full depth-map job; executables cached per (shape, params).
 
-    With the Pallas sampler the sub-sweeps are dispatched from the host
+    On TPU, Pallas-kernel cost paths dispatch the sub-sweeps from the host
     (fusing all six into one TPU executable trips a runtime kernel fault);
     otherwise the whole job is one fused jit."""
-    if params.use_pallas_sampler:
+    rect = params.cost_path == "rect"
+    if params.use_pallas_sampler or (rect and jax.default_backend() != "cpu"):
         from .models.patchmatch import run_patchmatch_host_loop
-        state = run_patchmatch_host_loop(scene, params, key)
+        if rect:
+            from .ops.rect_cost import rect_multiview_cost
+            state = run_patchmatch_host_loop(scene, params, key,
+                                             cost_fn=rect_multiview_cost)
+        else:
+            state = run_patchmatch_host_loop(scene, params, key)
         return _jitted_finalize(state, scene)
+    if rect:
+        return _jitted_job_fused_rect(scene, params, key)
     return _jitted_job_fused(scene, params, key)
 
 
@@ -97,6 +112,15 @@ def compute_depthmap(images: Sequence[np.ndarray],
     params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
 
     scene = build_scene(images, rig, subset, params, depth_min, depth_max)
+    if params.cost_path == "rect":
+        from .models.rect_scene import RectifyUnsupported, build_rect_scene
+        try:
+            scene, _ = build_rect_scene(images, rig, subset, params,
+                                        depth_min, depth_max, base=scene)
+        except RectifyUnsupported as e:
+            print(f"[gipuma_tpu] rect path unavailable ({e}); "
+                  "falling back to the exact cost path")
+            params = params.replace(cost_path="exact")
     key = jax.random.PRNGKey(params.seed)
 
     t0 = time.perf_counter()

@@ -1,0 +1,76 @@
+"""End-to-end PatchMatch with the rectified fast cost path.
+
+Quality gate for the rect-path deviations (window shape, rect-frame
+gradients, nearest-pixel centering): the engine must recover synthetic
+scenes as well as the exact path does (tests/test_patchmatch.py)."""
+import numpy as np
+import jax
+import pytest
+
+from gipuma_tpu.config import AlgorithmParams
+from gipuma_tpu.geometry.camera import FAKE_BASELINE
+from gipuma_tpu.models.patchmatch import finalize, run_patchmatch
+from gipuma_tpu.models.rect_scene import build_rect_scene
+from gipuma_tpu.ops.rect_cost import rect_multiview_cost
+from gipuma_tpu.utils.synthetic import plane_scene, two_plane_scene
+
+
+def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3):
+    images, rig, gt_depth, _ = plane_scene(
+        num_cams=4, h=h, w=w, focal=100.0, plane_depth=5.0, slant=slant)
+    depth_min, depth_max = 3.0, 8.0
+    params = AlgorithmParams(
+        box_hsize=9, box_vsize=9, iterations=iterations, n_best=2,
+        seed=0).with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
+    scene, info = build_rect_scene(images, rig, [1, 2, 3], params,
+                                   depth_min, depth_max)
+    return images, rig, gt_depth, params, scene, info
+
+
+def test_tables_are_clean():
+    """Even the worst synthetic geometry (+-120 deg baselines -> ~30 deg
+    residual rotation) must keep slot contention rare; affected outputs
+    read a <=1 px horizontal neighbor (benign for PatchMatch — the e2e
+    tests below are the quality gate)."""
+    _, _, _, _, _, info = make_setup()
+    for pair in info["pairs"]:
+        assert pair["fwd_affected_frac"] < 0.05, pair
+        assert pair["ret_affected_frac"] < 0.10, pair
+
+
+@pytest.mark.parametrize("slant", [(0.0, 0.0), (0.35, -0.25)])
+def test_recovers_plane(slant):
+    images, rig, gt_depth, params, scene, _ = make_setup(slant=slant)
+    key = jax.random.PRNGKey(params.seed)
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    depth, normals, cost = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.02)
+    assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
+                              f"median {np.median(err):.4f}")
+
+
+def test_two_plane_discontinuity():
+    images, rig, gt_depth, near_mask = two_plane_scene(
+        num_cams=5, h=48, w=64, focal=100.0)
+    params = AlgorithmParams(
+        box_hsize=9, box_vsize=9, iterations=4, n_best=2,
+    ).with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
+    scene, _ = build_rect_scene(images, rig, [1, 2, 3, 4], params, 3.0, 8.0)
+    state = run_patchmatch(scene, params, jax.random.PRNGKey(0),
+                           cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+
+    interior = np.zeros_like(near_mask)
+    interior[8:-8, 8:-8] = True
+    edge = np.abs(np.diff(near_mask.astype(int), axis=1)).sum(0).nonzero()[0]
+    band = np.zeros_like(near_mask)
+    if len(edge):
+        x0 = int(edge[0])
+        band[:, max(0, x0 - 3):x0 + 4] = True
+    ok = interior & ~band
+    for mask in (ok, near_mask & ok, (~near_mask) & ok):
+        e = np.abs(depth[mask] - gt_depth[mask]) / gt_depth[mask]
+        assert np.median(e) < 0.015, f"median rel err {np.median(e):.4f}"
