@@ -118,15 +118,22 @@ def _fold_better(scene, params, parity, x, y,
     cost < current AND the induced depth is inside [depthMin, depthMax].
 
     Costs are candidate-independent of the running best, so they are all
-    evaluated up front via lax.map and only the accept fold is sequential —
-    same result as the reference's candidate-by-candidate loop,
-    first-minimum tie-breaking included.  (lax.map, not vmap or a python
-    loop: vmap-batching the Pallas sampling kernel hangs the TPU runtime,
-    and python-loop unrolling duplicates the kernel executable per
-    candidate, overflowing the executable serializer.)"""
-    ck_all = jax.lax.map(
-        lambda nd: cost_fn(scene, params, parity, nd[0], nd[1]),
-        (cand_n, cand_d))
+    evaluated up front and only the accept fold is sequential — same result
+    as the reference's candidate-by-candidate loop, first-minimum
+    tie-breaking included.  Cost functions exposing a `batch` attribute
+    (the rect fast path) evaluate every candidate in ONE pass — one kernel
+    launch per stage instead of per candidate; otherwise lax.map runs them
+    sequentially (not vmap or a python loop: vmap-batching the Pallas
+    sampling kernel hangs the TPU runtime, and python-loop unrolling
+    duplicates the kernel executable per candidate, overflowing the
+    executable serializer)."""
+    batch = getattr(cost_fn, "batch", None)
+    if batch is not None:
+        ck_all = batch(scene, params, parity, cand_n, cand_d)
+    else:
+        ck_all = jax.lax.map(
+            lambda nd: cost_fn(scene, params, parity, nd[0], nd[1]),
+            (cand_n, cand_d))
     depth_all = T.depth_from_plane(cand_n, cand_d, x, y, scene.fx, scene.cx,
                                    scene.cy, scene.alpha_focal)
     for k in range(cand_n.shape[0]):
@@ -282,6 +289,27 @@ def iteration(state: PMState, scene: ScenePack, params: AlgorithmParams,
     return state
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _host_loop_jits(cost_fn):
+    """Module-level jit wrappers keyed by cost_fn: re-creating them per run
+    would retrace + recompile every depth-map job of a batch (30-60 s per
+    Pallas executable through the remote TPU compile helper)."""
+    jinit = jax.jit(_ft.partial(init_state, cost_fn=cost_fn),
+                    static_argnames=("params",))
+    jclose = jax.jit(_ft.partial(propagation_sweep, offsets=CLOSE_OFFSETS,
+                                 cost_fn=cost_fn),
+                     static_argnames=("params", "parity"))
+    jfar = jax.jit(_ft.partial(propagation_sweep, offsets=FAR_OFFSETS,
+                               cost_fn=cost_fn),
+                   static_argnames=("params", "parity"))
+    jrefine = jax.jit(_ft.partial(refinement_sweep, cost_fn=cost_fn),
+                      static_argnames=("params", "parity"))
+    return jinit, jclose, jfar, jrefine
+
+
 def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
                              cost_fn=multiview_cost) -> PMState:
     """run_patchmatch with host-side sub-sweep dispatch.
@@ -294,18 +322,7 @@ def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
     kernel launches per iteration (gipuma.cu:1911-1941) — structurally the
     same schedule.
     """
-    import functools as _ft
-
-    jinit = jax.jit(_ft.partial(init_state, cost_fn=cost_fn),
-                    static_argnames=("params",))
-    jclose = jax.jit(_ft.partial(propagation_sweep, offsets=CLOSE_OFFSETS,
-                                 cost_fn=cost_fn),
-                     static_argnames=("params", "parity"))
-    jfar = jax.jit(_ft.partial(propagation_sweep, offsets=FAR_OFFSETS,
-                               cost_fn=cost_fn),
-                   static_argnames=("params", "parity"))
-    jrefine = jax.jit(_ft.partial(refinement_sweep, cost_fn=cost_fn),
-                      static_argnames=("params", "parity"))
+    jinit, jclose, jfar, jrefine = _host_loop_jits(cost_fn)
 
     state = jinit(scene, params, key)
     for _ in range(params.iterations):

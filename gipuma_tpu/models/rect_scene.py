@@ -28,7 +28,7 @@ import numpy as np
 from ..config import AlgorithmParams
 from ..geometry.camera import Rig
 from ..geometry.rectify import rectified_bounds, rectify_pair, warp_to_rectified
-from ..ops.permute2d import build_tables
+from ..ops.permute2d import build_tables, tile_span_blocks
 from ..ops.rect_cost import RectScene
 from ..ops.sampling import central_gradients
 from .scene import build_scene
@@ -124,6 +124,21 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         cam = rig.cameras[v]
         try:
             rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t)
+            # Density normalization: scale K_new so the reference image's
+            # rectified footprint holds as many pixels as the image itself.
+            # Keeps the (pixel-unit) cost window the same physical size as
+            # the reference engine's, and removes oversampling waste.
+            corners = np.array([[0, 0, 1], [w - 1, 0, 1],
+                                [w - 1, h - 1, 1], [0, h - 1, 1]], float)
+            q = corners @ rect.T_ref.T
+            q = q[:, :2] / q[:, 2:3]
+            area = 0.5 * abs(sum(
+                q[i, 0] * q[(i + 1) % 4, 1] - q[(i + 1) % 4, 0] * q[i, 1]
+                for i in range(4)))
+            s = float(np.clip(np.sqrt(h * w / max(area, 1.0)), 0.25, 4.0))
+            K_scaled = np.diag([s, s, 1.0]) @ rect.K_new
+            rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t,
+                                K_new=K_scaled)
         except ValueError as e:
             raise RectifyUnsupported(f"view {v}: {e}") from e
 
@@ -207,8 +222,15 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         ret = build_tables(np.round(yl), np.round(xl), hr, wr,
                            valid=orig_ok)
 
+        # Disparity clamp for cost evaluation (rect pixels): the depth range
+        # maps to [f_new*B/depth_max, f_new*B/depth_min]; the margin admits
+        # slanted-window extrapolation beyond the center disparity.
+        fb = rect.f_new * rect.baseline
+        d_lo = fb / depth_max - 16.0
+        d_hi = fb / depth_min + 16.0
+
         per_pair.append((ref_rect, src_rect, L_local, fwd, ret, hr, wr,
-                         k_rot))
+                         k_rot, (d_lo, d_hi)))
         info["pairs"].append({
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "fwd_conflicts": fwd.conflicts,
@@ -236,9 +258,28 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                         for p in per_pair])
     ret_r = jnp.stack([jnp.asarray(p[4].r) for p in per_pair])
     rot_k = jnp.asarray([p[7] for p in per_pair], jnp.int32)
+    disp_bounds = jnp.asarray(np.asarray([p[8] for p in per_pair],
+                                         np.float32))
+
+    # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
+    # sampling span from the clamped disparity range + tile width; permute
+    # span measured exactly from the built tables.
+    max_range = max(p[8][1] - p[8][0] for p in per_pair)
+    span_sample = int(np.ceil((146.0 + max_range) / 128.0)) + 1
+    span_perm = max(max(tile_span_blocks(p[3].c1),
+                        tile_span_blocks(np.ascontiguousarray(p[3].r.T)),
+                        tile_span_blocks(p[4].c1),
+                        tile_span_blocks(np.ascontiguousarray(p[4].r.T)))
+                    for p in per_pair)
+    if span_perm > 6:
+        raise RectifyUnsupported(
+            f"permutation tables need {span_perm} 128-col blocks per tile "
+            "(map too distorted for the scratch-window gather)")
+    spans = jnp.zeros((span_sample, span_perm), jnp.int8)
 
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,
                       fwd_c1=fwd_c1, fwd_r=fwd_r, ret_c1=ret_c1, ret_r=ret_r,
-                      rot_k=rot_k)
+                      rot_k=rot_k, disp_bounds=disp_bounds, spans=spans)
     info["rect_shape_padded"] = (hrp, wrp)
+    info["spans"] = (span_sample, span_perm)
     return scene, info

@@ -57,6 +57,36 @@ class PermuteTables(NamedTuple):
     affected: np.ndarray
 
 
+def _smooth_fill(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
+                 in_h: int, in_w: int) -> np.ndarray:
+    """Per-column inverse-map interpolation: the ideal pass-1 table
+    C1[r, l] = C at the output row s where R(s, l) == r.  Used as the fill
+    for unwritten/contended slots so the table stays SMOOTH — junk fills
+    would blow up the per-tile span the scratch-window gather relies on."""
+    out_h, out_w = R.shape
+    fill = np.zeros((in_h, out_w), np.float64)
+    rows = np.arange(in_h, dtype=np.float64)
+    good = []
+    for l in range(out_w):
+        ok = valid[:, l]
+        if ok.sum() < 2:
+            continue
+        xp = R[ok, l].astype(np.float64)
+        fp = C[ok, l].astype(np.float64)
+        order = np.argsort(xp, kind="stable")
+        fill[:, l] = np.interp(rows, xp[order], fp[order])
+        good.append(l)
+    if good:
+        # Columns with no valid writers copy the nearest filled column —
+        # a 0-fill next to real values would blow up the per-tile span.
+        good_arr = np.asarray(good)
+        for l in range(out_w):
+            if valid[:, l].sum() < 2:
+                nearest = good_arr[np.argmin(np.abs(good_arr - l))]
+                fill[:, l] = fill[:, nearest]
+    return np.clip(np.round(fill), 0, in_w - 1).astype(np.int64)
+
+
 def build_tables(R: np.ndarray, C: np.ndarray, in_h: int, in_w: int,
                  valid: np.ndarray | None = None) -> PermuteTables:
     """Build 2-pass tables for out[s, l] = in[R[s, l], C[s, l]].
@@ -84,7 +114,8 @@ def build_tables(R: np.ndarray, C: np.ndarray, in_h: int, in_w: int,
     written = cmax >= 0
     conflicts = int(np.sum((cmax - cmin)[written] > 0))
 
-    c1 = np.where(written, np.clip(cmin, 0, in_w - 1), 0)
+    fill = _smooth_fill(R, C, valid, in_h, in_w).ravel()
+    c1 = np.where(written, np.clip(cmin, 0, in_w - 1), fill)
     affected = (c1[R * out_w + l] != C) & valid
     c1 = c1.reshape(in_h, out_w).astype(np.float32)
     return PermuteTables(c1=c1, r=R.astype(np.float32), in_h=in_h,
@@ -99,7 +130,8 @@ def _pad128(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
-              interpret: bool = False) -> jnp.ndarray:
+              interpret: bool = False,
+              max_span_blocks: int | None = None) -> jnp.ndarray:
     """Apply a 2-pass permutation built by `build_tables`.
 
     x: [in_h, in_w] or [C, in_h, in_w]; c1: [in_h, out_w]; r: [out_h, out_w].
@@ -107,18 +139,38 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     arguments (pass the same python object to stay cache-friendly), so
     jitted callers don't bake multi-megabyte constants into the executable
     (TPU remote-compile request limits — CLAUDE.md).
+
+    max_span_blocks: static bound on both passes' per-tile index span
+    (measure with `tile_span_blocks` at build time) — enables the gather
+    kernel's fast scratch-window path.
     """
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
     out_h, out_w = r.shape
 
-    a = row_gather(_pad128(x), c1, interpret=interpret)       # [C, in_h, out_w]
+    a = row_gather(_pad128(x), c1, interpret=interpret,
+                   max_span_blocks=max_span_blocks)           # [C, in_h, out_w]
     a_t = jnp.swapaxes(a, 1, 2)                               # [C, out_w, in_h]
     r_t = jnp.swapaxes(r, 0, 1)                               # [out_w, out_h]
-    o_t = row_gather(_pad128(a_t), r_t, interpret=interpret)  # [C, out_w, out_h]
+    o_t = row_gather(_pad128(a_t), r_t, interpret=interpret,
+                     max_span_blocks=max_span_blocks)         # [C, out_w, out_h]
     out = jnp.swapaxes(o_t, 1, 2)
     return out[0] if squeeze else out
+
+
+def tile_span_blocks(x: np.ndarray) -> int:
+    """Worst-case number of 128-column source blocks any [8, 128] tile of
+    gather positions `x` touches (the row_gather scratch-window bound),
+    accounting for arbitrary 128-block alignment of the window base."""
+    h, w = x.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    xp = np.pad(x, ((0, hp - h), (0, wp - w)), mode="edge")
+    tiles = xp.reshape(hp // 8, 8, wp // 128, 128)
+    x0 = np.floor(tiles).astype(np.int64)
+    mn = x0.min(axis=(1, 3))
+    mx = x0.max(axis=(1, 3)) + 1
+    return int(((mx - (mn // 128) * 128) // 128 + 1).max())
 
 
 def permute2d_take(x: jnp.ndarray, R: jnp.ndarray, C: jnp.ndarray

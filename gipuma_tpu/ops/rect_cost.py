@@ -37,7 +37,7 @@ import numpy as np
 from ..config import MAXCOST, AlgorithmParams
 from . import checkerboard as cb
 from .cost import ScenePack, combine_view_costs
-from .pallas_rowgather import row_gather
+from .pallas_rowgather import row_gather, row_gather_batch
 from .permute2d import permute2d
 
 
@@ -103,13 +103,18 @@ def rect_window_cost(ref_rect: jnp.ndarray, ref_gx: jnp.ndarray,
 
 def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                    abc: jnp.ndarray, params: AlgorithmParams,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   disp_lo=None, disp_hi=None,
+                   span_blocks: int | None = None) -> jnp.ndarray:
     """Window cost of one (reference, source) rectified pair, all pixels.
 
     ref_chw, src_chw: [3C, Hr, Wr] rectified channels (C image channels,
         then C x-gradients, then C y-gradients), Wr % 128 == 0;
     abc: [3, Hr, Wr] per-pixel affine disparity coefficients in LOCAL rect
         coordinates: disp = abc[0]*x̂ + abc[1]*ŷ + abc[2].
+    disp_lo/disp_hi: optional (traced) clamp for the evaluated disparity —
+        bounds the warp of wild hypotheses so `span_blocks` (static bound
+        on the per-tile source span, see row_gather) holds by construction.
 
     The window-offset loop is a lax.scan (dynamic slices of once-padded
     inputs), so the compiled program holds ONE row_gather kernel instance
@@ -139,10 +144,13 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
         # Disparity of the CENTER pixel's plane evaluated at the sample
         # position (slanted-window PatchMatch semantics).
         disp = abc[0] * (xg + dxf) + abc[1] * (yg + dyf) + abc[2]
+        if disp_lo is not None:
+            disp = jnp.clip(disp, disp_lo, disp_hi)
         xsrc = xg + dxf - disp
         src_rows = jax.lax.dynamic_slice(src_pad, (0, vr + dy, 0),
                                          (ch, hr, wr))
-        smp = row_gather(src_rows, xsrc, interpret=interpret)
+        smp = row_gather(src_rows, xsrc, interpret=interpret,
+                         max_span_blocks=span_blocks)
         w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
         col = jnp.minimum(_l1(ref_w[:C] - smp[:C]), params.tau_color)
         grad = jnp.minimum(
@@ -152,6 +160,59 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
         return acc + w * ((1.0 - alpha) * col + alpha * grad), None
 
     acc, _ = jax.lax.scan(step, jnp.zeros((hr, wr), jnp.float32), offs)
+    return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+
+
+def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
+                         abc_k: jnp.ndarray, params: AlgorithmParams,
+                         interpret: bool = False,
+                         disp_lo=None, disp_hi=None,
+                         span_blocks: int | None = None) -> jnp.ndarray:
+    """rect_pair_cost for K candidate plane fields at once: abc_k
+    [K, 3, Hr, Wr] -> [K, Hr, Wr].  One gather-kernel launch per window
+    offset serves every candidate (row_gather_batch), and the reference
+    window/weight work is shared across candidates."""
+    ch, hr, wr = ref_chw.shape
+    K = abc_k.shape[0]
+    C = ch // 3
+    vr, hrad = params.box_vrad, params.box_hrad
+    ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
+    src_pad = jnp.pad(src_chw, ((0, 0), (vr, vr), (0, 0)), mode="edge")
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 0)
+    ref_center = ref_chw[:C]
+    inv_gamma = 1.0 / params.gamma
+    alpha = params.alpha
+    offs = jnp.asarray(np.asarray(params.window_offsets(), np.int32))
+
+    def _l1(x):
+        return jnp.mean(jnp.abs(x), axis=-3)
+
+    def step(acc, off):
+        dx, dy = off[0], off[1]
+        dxf = dx.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        ref_w = jax.lax.dynamic_slice(ref_pad, (0, vr + dy, hrad + dx),
+                                      (ch, hr, wr))
+        disp = (abc_k[:, 0] * (xg + dxf) + abc_k[:, 1] * (yg + dyf)
+                + abc_k[:, 2])                              # [K, Hr, Wr]
+        if disp_lo is not None:
+            disp = jnp.clip(disp, disp_lo, disp_hi)
+        xsrc = (xg + dxf) - disp
+        src_rows = jax.lax.dynamic_slice(src_pad, (0, vr + dy, 0),
+                                         (ch, hr, wr))
+        smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
+                               max_span_blocks=span_blocks)  # [K,CH,Hr,Wr]
+        w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
+        col = jnp.minimum(_l1(ref_w[None, :C] - smp[:, :C]),
+                          params.tau_color)
+        grad = jnp.minimum(
+            (_l1(ref_w[None, C:2 * C] - smp[:, C:2 * C])
+             + _l1(ref_w[None, 2 * C:] - smp[:, 2 * C:])) * 0.0625,
+            params.tau_gradient)
+        return acc + w[None] * ((1.0 - alpha) * col + alpha * grad), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((K, hr, wr), jnp.float32), offs)
     return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
 
 
@@ -186,6 +247,12 @@ class RectScene(NamedTuple):
     ret_c1: jnp.ndarray     # [V, Hrp, S]
     ret_r: jnp.ndarray      # [V, S, S]
     rot_k: jnp.ndarray      # [V] int32
+    # Disparity clamp for cost evaluation, per pair (rect pixels):
+    disp_bounds: jnp.ndarray  # [V, 2] = (lo, hi)
+    # Static payload carried in the SHAPE (shard-safe, jit-static):
+    # spans.shape = (sample_span_blocks, permute_span_blocks) — the
+    # row_gather scratch-window bounds verified at build time.
+    spans: jnp.ndarray
 
     # --- engine-facing delegation (models/patchmatch.py reads these) ---
     @property
@@ -268,48 +335,63 @@ def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
 
     n: [H, W2, 3], d: [H, W2] on the parity's active half-grid.  The view
     axis is this function's sharding axis (parallel/sharded.py gathers the
-    per-view results over ICI before combination).
-    """
-    interpret = jax.default_backend() == "cpu"
-    m = n / d[..., None]                                   # [H, W2, 3]
-    # Column-duplicate the half-grid state to the full grid: each (2j, 2j+1)
-    # column pair holds active pixel j's value, so the parity-independent
-    # nearest-pixel tables always read the right plane.
-    m_full = jnp.repeat(m, 2, axis=1)                      # [H, W, 3]
-    m_chw = jnp.moveaxis(m_full, -1, 0)                    # [3, H, W]
-    h, w = m_full.shape[:2]
-    s = scene.fwd_c1.shape[-2]                             # S = max(H, W)
+    per-view results over ICI before combination).  Delegates to the
+    K-candidate batch implementation with K = 1."""
+    return rect_per_view_costs_batch(scene, params, parity,
+                                     n[None], d[None])[:, 0]
 
-    # All four grid orientations, square-padded so the per-view rotation
-    # choice is a traced index into one stacked array.
+
+def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
+                              parity: int, n: jnp.ndarray, d: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Per-view costs for K candidates at once: n [K, H, W2, 3],
+    d [K, H, W2] -> [V, K, H, W2].
+
+    One permute / gather-kernel launch serves all candidates (channel and
+    batch stacking) — candidate-by-candidate evaluation pays the kernel
+    launch latency ~K times over (dominant on the remote TPU runtime)."""
+    interpret = jax.default_backend() == "cpu"
+    K = n.shape[0]
+    m = n / d[..., None]                                   # [K, H, W2, 3]
+    m_full = jnp.repeat(m, 2, axis=2)                      # [K, H, W, 3]
+    m_chw = jnp.moveaxis(m_full, -1, 1)                    # [K, 3, H, W]
+    h, w = m_full.shape[1:3]
+    s = scene.fwd_c1.shape[-2]
+    span_sample = scene.spans.shape[-2]
+    span_perm = scene.spans.shape[-1]
+
     def rot_pad(k):
         rk = jnp.rot90(m_chw, k=k, axes=(-2, -1))
-        return jnp.pad(rk, ((0, 0), (0, s - rk.shape[-2]),
+        return jnp.pad(rk, ((0, 0), (0, 0), (0, s - rk.shape[-2]),
                             (0, s - rk.shape[-1])))
-    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, 3, S, S]
+    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, K, 3, S, S]
+    m_rots = m_rots.reshape(4, K * 3, s, s)
 
-    # Un-rotation branches (all produce [H, W]): crop the occupied corner
-    # first — rot90 of the padded square would move the padding to the
-    # leading side.  lax.switch keeps k traced, so one SPMD executable
-    # serves every view under sharding.
     def unrot_branch(k):
-        def f(c_sq):
+        def f(c_sq):                                       # [K, S, S]
             hk, wk = (w, h) if k % 2 else (h, w)
-            return jnp.rot90(c_sq[:hk, :wk], k=(-k) % 4, axes=(0, 1))
+            return jnp.rot90(c_sq[:, :hk, :wk], k=(-k) % 4, axes=(1, 2))
         return f
     unrot_branches = [unrot_branch(k) for k in range(4)]
+    rp = cb.row_parity(h, parity)[None]                    # [1, H, 1]
 
     def view_body(_, vin):
-        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, validv = vin
+        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv = vin
         m_sel = jax.lax.dynamic_index_in_dim(m_rots, kv, axis=0,
                                              keepdims=False)
-        m_rect = permute2d(m_sel, fc1, fr, interpret=interpret)
-        abc = jnp.einsum("ij,jhw->ihw", Lv, m_rect)        # [3, Hrp, Wrp]
-        cost_rect = rect_pair_cost(ref_r, src_r, abc, params,
-                                   interpret=interpret)
-        cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret)
-        cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)  # [H, W]
-        cost_act = cb.extract(cost_full, parity)           # [H, W2]
+        m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
+                           max_span_blocks=span_perm)      # [K3, Hrp, Wrp]
+        m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
+        abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
+        cost_rect = rect_pair_cost_batch(ref_r, src_r, abc, params,
+                                         interpret=interpret,
+                                         disp_lo=dbv[0], disp_hi=dbv[1],
+                                         span_blocks=span_sample)
+        cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret,
+                            max_span_blocks=span_perm)     # [K, S, S]
+        cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)
+        cost_act = jnp.where(rp == 0, cost_full[:, :, 0::2],
+                             cost_full[:, :, 1::2])        # [K, H, W2]
         cost_act = jnp.where(jnp.isnan(cost_act) | (cost_act >= MAXCOST)
                              | (validv == 0.0), MAXCOST, cost_act)
         return None, cost_act
@@ -318,8 +400,8 @@ def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
         view_body, None,
         (scene.ref_rect, scene.src_rect, scene.L,
          scene.fwd_c1, scene.fwd_r, scene.ret_c1, scene.ret_r,
-         scene.rot_k, scene.view_valid))
-    return costs
+         scene.rot_k, scene.disp_bounds, scene.view_valid))
+    return costs                                           # [V, K, H, W2]
 
 
 def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
@@ -328,3 +410,16 @@ def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
     """pmCostMultiview on the rectified fast path — engine cost_fn."""
     return combine_view_costs(
         rect_per_view_costs(scene, params, parity, n, d), params)
+
+
+def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
+                              parity: int, n: jnp.ndarray, d: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Combined multiview cost for K stacked candidates: [K, H, W2]."""
+    return combine_view_costs(
+        rect_per_view_costs_batch(scene, params, parity, n, d), params)
+
+
+# The engine (models/patchmatch._fold_better) uses the `batch` attribute to
+# evaluate all propagation candidates in one pass.
+rect_multiview_cost.batch = rect_multiview_cost_batch

@@ -28,14 +28,17 @@ from ..config import AlgorithmParams
 from ..models.patchmatch import PMState, run_patchmatch
 from ..models.scene import pad_scene_views
 from ..ops.cost import ScenePack, combine_view_costs, per_view_costs
-from ..ops.rect_cost import RectScene, rect_per_view_costs
+from ..ops.rect_cost import (RectScene, rect_per_view_costs,
+                             rect_per_view_costs_batch)
 
 
-def view_sharded_cost_fn(axis_name: str = "view") -> Callable:
+def view_sharded_cost_fn(axis_name: str = "view",
+                         rect: bool = False) -> Callable:
     """multiview_cost drop-in: local per-view costs + ICI all-gather.
 
     Dispatches on the scene type, so the rectified fast path shards over
-    views exactly like the exact path."""
+    views exactly like the exact path; with rect=True it also exposes the
+    K-candidate `batch` variant the engine prefers."""
 
     def cost_fn(scene, params, parity, n, d):
         per_view = (rect_per_view_costs if isinstance(scene, RectScene)
@@ -44,6 +47,13 @@ def view_sharded_cost_fn(axis_name: str = "view") -> Callable:
         full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
         return combine_view_costs(full, params)
 
+    if rect:
+        def cost_fn_batch(scene, params, parity, n, d):
+            local = rect_per_view_costs_batch(scene, params, parity, n, d)
+            full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
+            return combine_view_costs(full, params)
+
+        cost_fn.batch = cost_fn_batch
     return cost_fn
 
 
@@ -64,7 +74,7 @@ def _scene_specs(scene, batched: bool):
     if rect:
         specs = RectScene(base=specs, ref_rect=view, src_rect=view, L=view,
                           fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
-                          rot_k=view)
+                          rot_k=view, disp_bounds=view, spans=base)
     return specs
 
 
@@ -85,7 +95,8 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
                      src_rect=pad0(scene.src_rect), L=pad0(scene.L),
                      fwd_c1=pad0(scene.fwd_c1), fwd_r=pad0(scene.fwd_r),
                      ret_c1=pad0(scene.ret_c1), ret_r=pad0(scene.ret_r),
-                     rot_k=pad0(scene.rot_k))
+                     rot_k=pad0(scene.rot_k),
+                     disp_bounds=pad0(scene.disp_bounds), spans=scene.spans)
 
 
 def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
@@ -101,12 +112,14 @@ def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
     specs = _scene_specs(scene, batched=False)
     state_spec = PMState(planes=P(), cost=P(), key=P())
 
+    rect = isinstance(scene, RectScene)
+
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(specs, P()), out_specs=state_spec,
         check_vma=False)
     def _run(scene_local, key):
         return run_patchmatch(scene_local, params, key,
-                              cost_fn=view_sharded_cost_fn())
+                              cost_fn=view_sharded_cost_fn(rect=rect))
 
     return _run(scene, key)
 

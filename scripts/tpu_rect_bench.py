@@ -28,13 +28,16 @@ from gipuma_tpu.utils.synthetic import plane_scene
 
 
 def timeit(label, fn, *args, reps=3, **kw):
+    # NOTE: block_until_ready through the axon relay returns before the
+    # device finishes; np.asarray forces a real fetch (CLAUDE.md).
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args, **kw))
+    out = fn(*args, **kw)
+    np.asarray(jax.tree.leaves(out)[0])
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
     dt = (time.perf_counter() - t0) / reps
     print(f"{label}: first={t_compile:.2f}s steady={dt*1e3:.1f}ms", flush=True)
     return out, dt
@@ -85,7 +88,15 @@ def main():
     t_iter = 2 * (t_close + t_far + t_ref)
     print(f"per-iteration (6 sub-sweeps): {t_iter*1e3:.1f}ms", flush=True)
 
-    # Full run, end to end.
+    # Warm the parity-1 variants so the steady run measures compute only.
+    st = state
+    for parity in (0, 1):
+        st = jclose(st, scene, params=params, parity=parity)
+        st = jfar(st, scene, params=params, parity=parity)
+        st = jrefine(st, scene, params=params, parity=parity)
+    np.asarray(st.cost)
+
+    # Full run, end to end (all executables warm).
     t0 = time.perf_counter()
     st = jinit(scene, params, key)
     for _ in range(params.iterations):
@@ -94,7 +105,7 @@ def main():
             st = jfar(st, scene, params=params, parity=parity)
             st = jrefine(st, scene, params=params, parity=parity)
     depth, normals, cost = jfin(st, scene)
-    depth = np.asarray(jax.block_until_ready(depth))
+    depth = np.asarray(depth)
     dt_run = time.perf_counter() - t0
     mp_s = h * w / 1e6 / dt_run
 
