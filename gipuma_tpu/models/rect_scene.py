@@ -27,11 +27,51 @@ import numpy as np
 
 from ..config import AlgorithmParams
 from ..geometry.camera import Rig
-from ..geometry.rectify import rectified_bounds, rectify_pair, warp_to_rectified
+from ..geometry.rectify import rectified_bounds, rectify_pair
+from ..ops.pallas_rowgather import pack_taps
 from ..ops.permute2d import build_tables, tile_span_blocks
 from ..ops.rect_cost import RectScene
-from ..ops.sampling import central_gradients
 from .scene import build_scene
+
+
+def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
+                      lo: np.ndarray) -> np.ndarray:
+    """Inverse-warp img [H, W, C] into the rect window and stack gradient
+    channels -> [3C, hr, wr].  Pure numpy: this one-time host setup ran as
+    12 distinct-shape XLA programs before, costing ~100 s of remote TPU
+    compiles per reference view (geometry/rectify.warp_to_rectified is kept
+    for tests).  Bilinear clamp-to-edge semantics match ops/sampling.
+    bilinear_sample; gradients match ops/sampling.central_gradients."""
+    h, w = img.shape[:2]
+    Tinv = np.linalg.inv(np.asarray(T, np.float64))
+    ys, xs = np.meshgrid(np.arange(hr, dtype=np.float64) + lo[1],
+                         np.arange(wr, dtype=np.float64) + lo[0],
+                         indexing="ij")
+    q = np.stack([xs, ys, np.ones_like(xs)], -1) @ Tinv.T
+    xw = (q[..., 0] / q[..., 2]).astype(np.float32)
+    yw = (q[..., 1] / q[..., 2]).astype(np.float32)
+    xw = np.clip(xw, 0.0, float(w - 1))
+    yw = np.clip(yw, 0.0, float(h - 1))
+    x0 = np.clip(np.floor(xw).astype(np.int32), 0, w - 2)
+    y0 = np.clip(np.floor(yw).astype(np.int32), 0, h - 2)
+    fx = np.clip(xw - x0, 0.0, 1.0)[..., None]
+    fy = np.clip(yw - y0, 0.0, 1.0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    warped = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+              + (v10 * (1 - fx) + v11 * fx) * fy)        # [hr, wr, C]
+    chw = np.moveaxis(warped, -1, 0)                     # [C, hr, wr]
+    gx = np.empty_like(chw)
+    gx[..., 1:-1] = chw[..., 2:] - chw[..., :-2]
+    gx[..., :1] = chw[..., 1:2] - chw[..., :1]
+    gx[..., -1:] = chw[..., -1:] - chw[..., -2:-1]
+    gy = np.empty_like(chw)
+    gy[..., 1:-1, :] = chw[..., 2:, :] - chw[..., :-2, :]
+    gy[..., :1, :] = chw[..., 1:2, :] - chw[..., :1, :]
+    gy[..., -1:, :] = chw[..., -1:, :] - chw[..., -2:-1, :]
+    return np.concatenate([chw, gx, gy], axis=0)         # [3C, hr, wr]
 
 
 class RectifyUnsupported(ValueError):
@@ -65,6 +105,34 @@ def _unland(yk, xk, k: int, h: int, w: int):
     if k == 2:
         return (h - 1) - yk, (w - 1) - xk
     return (h - 1) - xk, yk
+
+
+def _map_slopes(T_ref: np.ndarray, k: int, h: int, w: int):
+    """Slopes of the (k-rotated reference pixel) -> rect map, sampled on a
+    stride-4 grid over the valid reference region.
+
+    Returns (du, dv, dyr): signed d(rect_x)/d(p_col), signed
+    d(rect_y)/d(p_col), and |d(rect_y)/d(p_row)| — the quantities that
+    decide nearest-neighbor table contention (see build_rect_scene)."""
+    s_sq = max(h, w)
+    ss = np.arange(0, s_sq - 1, 4, dtype=np.float64)
+    sk, lk = np.meshgrid(ss, ss, indexing="ij")
+
+    def rect_xy(skk, lkk):
+        yy, xx = _unland(skk, lkk, k, h, w)
+        q = np.stack([xx, yy, np.ones_like(xx)], -1) @ T_ref.T
+        return q[..., 0] / q[..., 2], q[..., 1] / q[..., 2], yy, xx
+
+    x0, y0, yy, xx = rect_xy(sk, lk)
+    ok = (yy >= 0) & (yy <= h - 2) & (xx >= 0) & (xx <= w - 2)
+    if not ok.any():
+        raise ValueError("no valid reference pixels in the rotated grid")
+    x_r, y_r, _, _ = rect_xy(sk + 1.0, lk)
+    x_c, y_c, _, _ = rect_xy(sk, lk + 1.0)
+    du = (x_c - x0)[ok]
+    dv = (y_c - y0)[ok]
+    dyr = np.abs(y_r - y0)[ok]
+    return du, dv, dyr
 
 
 # Linear part of `_land` acting on (x, y) direction vectors.
@@ -136,41 +204,189 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                 q[i, 0] * q[(i + 1) % 4, 1] - q[(i + 1) % 4, 0] * q[i, 1]
                 for i in range(4)))
             s = float(np.clip(np.sqrt(h * w / max(area, 1.0)), 0.25, 4.0))
-            K_scaled = np.diag([s, s, 1.0]) @ rect.K_new
-            rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t,
-                                K_new=K_scaled)
+            K_base = np.diag([s, s, 1.0]) @ rect.K_new
+            rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t, K_new=K_base)
         except ValueError as e:
             raise RectifyUnsupported(f"view {v}: {e}") from e
 
-        lo_r, hi_r = rectified_bounds(rect.T_ref, w, h)
-        lo_s, hi_s = rectified_bounds(rect.T_src, w, h)
-        # Rows: the reference footprint only (cost windows are centered on
-        # reference pixels; rows the reference never reaches are dead work).
-        # Columns: the union (source samples land anywhere in the source
-        # footprint).
-        lo = np.array([np.floor(min(lo_r[0], lo_s[0])),
-                       np.floor(lo_r[1])]) - margin
-        hi = np.array([np.ceil(max(hi_r[0], hi_s[0])),
-                       np.ceil(hi_r[1])]) + margin
-        hr = int(hi[1] - lo[1]) + 1
-        wr = _round_up(int(hi[0] - lo[0]) + 1, 128)
-        if hr * wr > max_blowup * h * w:
-            raise RectifyUnsupported(
-                f"view {v}: rect window {hr}x{wr} exceeds {max_blowup}x the "
-                f"image area — epipole too close to the image")
+        # Pre-rotation: the rect<->reference maps of off-axis baselines
+        # contain up to 180 deg of in-plane rotation; rotating the reference
+        # grid by k*90 deg (exact array op at runtime) keeps the residual
+        # within +-45 deg.
+        lo_r0, hi_r0 = rectified_bounds(rect.T_ref, w, h)
+        center0 = 0.5 * (np.asarray(lo_r0) + np.asarray(hi_r0))
+        k_rot = _pick_rotation(np.linalg.inv(rect.T_ref), center0)
+        s_sq = max(h, w)
+
+        # EXACT plane routing (the rect path's correctness cornerstone).
+        # Reference pixel p reads its cost back from target rect pixel
+        # q(p) = round(rect position of p); q(p) must hold the cost of p's
+        # OWN candidate plane.  Nearest-neighbor 2-pass tables guarantee
+        # this only if (a) targets are unique, (b) the return table has no
+        # slot contention, (c) the forward table delivers m_p to q(p)
+        # conflict-free.  All three hold by construction when the
+        # (rotated-)reference -> rect map has slopes >= ~1 in both table
+        # directions; we enforce that by post-scaling K_new with
+        # S = [[a, b, 0], [0, c, 0], [0, 0, 1]] (a shear in x keeps rows
+        # epipolar-aligned; c supersamples rows; a supersamples columns
+        # only when shear alone cannot fix the column slope).  Exactness is
+        # asserted on the built tables below; violations retry with
+        # inflated slopes, then raise RectifyUnsupported.
+        # Slope targets use a low quantile, not the min: extreme projective
+        # corners would otherwise blow the supersampling factor for the
+        # whole window; the few corner pixels whose slopes stay < 1 are
+        # counted against the routing-exactness budget below instead.
+        slope_req = 1.05
+        scale_cap = 2.5
+        du, dv, dyr = _map_slopes(rect.T_ref, k_rot, h, w)
+        c_scale = float(np.clip(
+            slope_req / max(np.quantile(dyr, 0.02), 1e-3), 1.0, scale_cap))
+        # Shear choice is AREA-aware: the stored window is the footprint's
+        # bounding box, and a shear of b widens the bbox by ~|b| * height —
+        # pick (b, a) minimizing column supersampling x bbox growth.
+        lo_n, hi_n = rectified_bounds(rect.T_ref, w, h)
+        w0 = max(hi_n[0] - lo_n[0], 1.0)
+        h0 = max(hi_n[1] - lo_n[1], 1.0)
+        bs = np.linspace(-2.0, 2.0, 161)
+        col_slope = np.quantile(np.abs(du[None] + bs[:, None] * dv[None]),
+                                0.02, axis=1)
+        a_need = np.clip(slope_req / np.maximum(col_slope, 1e-3),
+                         1.0, scale_cap)
+        area_factor = a_need * (w0 + np.abs(bs) * h0) / w0
+        # Among b's that reach the slope target (after a), prefer least area.
+        reach = col_slope * a_need >= slope_req - 1e-6
+        if reach.any():
+            cand = np.where(reach, area_factor, np.inf)
+        else:
+            cand = np.where(col_slope * a_need
+                            >= (col_slope * a_need).max() - 1e-6,
+                            area_factor, np.inf)
+        bi = int(np.argmin(cand))
+        b_shear = float(bs[bi])
+        a_scale = float(a_need[bi])
+
+        built = None
+        last_err = "?"
+        for attempt in range(3):
+            S = np.array([[a_scale, b_shear, 0.0],
+                          [0.0, c_scale, 0.0],
+                          [0.0, 0.0, 1.0]])
+            try:
+                rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t,
+                                    K_new=S @ K_base)
+            except ValueError as e:
+                raise RectifyUnsupported(f"view {v}: {e}") from e
+
+            lo_r, hi_r = rectified_bounds(rect.T_ref, w, h)
+            lo_s, hi_s = rectified_bounds(rect.T_src, w, h)
+            # Rows: the reference footprint only (cost windows are centered
+            # on reference pixels; rows the reference never reaches are
+            # dead work).  Columns: the union (source samples land anywhere
+            # in the source footprint).
+            lo = np.array([np.floor(min(lo_r[0], lo_s[0])),
+                           np.floor(lo_r[1])]) - margin
+            hi = np.array([np.ceil(max(hi_r[0], hi_s[0])),
+                           np.ceil(hi_r[1])]) + margin
+            hr = int(hi[1] - lo[1]) + 1
+            wr = _round_up(int(hi[0] - lo[0]) + 1, 128)
+            # Distortion guard: the REFERENCE footprint QUAD area (density-
+            # normalized, then deliberately supersampled by a*c) should stay
+            # near the image area; a large excess means near-epipole
+            # distortion that the clipped density normalization could not
+            # remove.  Quad area, not bbox: the shear tilts the footprint
+            # without inflating it.
+            cq = corners @ rect.T_ref.T
+            cq = cq[:, :2] / cq[:, 2:3]
+            quad = 0.5 * abs(sum(
+                cq[i, 0] * cq[(i + 1) % 4, 1] - cq[(i + 1) % 4, 0] * cq[i, 1]
+                for i in range(4)))
+            if quad > max_blowup * h * w * a_scale * c_scale:
+                raise RectifyUnsupported(
+                    f"view {v}: rect ref footprint {quad:.0f}px^2 exceeds "
+                    f"{max_blowup}x the image area — epipole too close to "
+                    f"the image")
+            if hr * wr > 4.0 * max_blowup * h * w * a_scale * c_scale:
+                raise RectifyUnsupported(
+                    f"view {v}: rect window {hr}x{wr} too large (bbox "
+                    f"blow-up) for the {max_blowup}x budget")
+
+            T_inv = np.linalg.inv(rect.T_ref)
+
+            # Rect-pixel pre-images on the k-rotated reference grid.
+            ys, xs = np.meshgrid(np.arange(hr, dtype=np.float64),
+                                 np.arange(wr, dtype=np.float64),
+                                 indexing="ij")
+            qh = np.stack([xs + lo[0], ys + lo[1], np.ones_like(xs)],
+                          -1) @ T_inv.T
+            xr = qh[..., 0] / qh[..., 2]
+            yr = qh[..., 1] / qh[..., 2]
+            in_ref = ((xr > -0.5) & (xr < w - 0.5)
+                      & (yr > -0.5) & (yr < h - 0.5))
+            yk, xk = _land(yr, xr, k_rot, h, w)
+
+            # Reference-pixel rect positions (k-rotated full grid; the
+            # compressed half-grid's active-x zigzag breaks smoothness, so
+            # the cost_fn un-rotates and compresses afterwards).
+            sk, lk = np.meshgrid(np.arange(s_sq, dtype=np.float64),
+                                 np.arange(s_sq, dtype=np.float64),
+                                 indexing="ij")
+            yy, xx = _unland(sk, lk, k_rot, h, w)
+            orig_ok = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+            qa = np.stack([xx, yy, np.ones_like(xx)], -1) @ rect.T_ref.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xl = qa[..., 0] / qa[..., 2] - lo[0]
+                yl = qa[..., 1] / qa[..., 2] - lo[1]
+            xl = np.where(orig_ok, xl, 0.0)
+            yl = np.where(orig_ok, yl, 0.0)
+            qy = np.clip(np.round(yl).astype(np.int64), 0, hr - 1)
+            qx = np.clip(np.round(xl).astype(np.int64), 0, wr - 1)
+
+            n_valid = int(orig_ok.sum())
+
+            # (a) duplicate read-back targets: the later writer wins the
+            # fwd slot, the other p reads a neighbor-plane cost.
+            flat_q = (qy * wr + qx)[orig_ok]
+            n_dup = flat_q.size - len(np.unique(flat_q))
+
+            # (b) return table: p -> q(p) slot contention.
+            ret = build_tables(qy, qx, hr, wr, valid=orig_ok)
+            n_bad_ret = int(ret.affected[orig_ok].sum())
+
+            # (c) forward table: deliver m_p to q(p); ONLY targets are
+            # writers (non-target rect pixels' m is never read back — their
+            # slots take the smooth fill, keeping gather spans bounded).
+            tgt = np.zeros((hr, wr), bool)
+            R_f = np.clip(np.round(yk), 0, s_sq - 1)
+            C_f = np.clip(np.round(xk), 0, s_sq - 1)
+            tgt[qy[orig_ok], qx[orig_ok]] = True
+            R_f[qy[orig_ok], qx[orig_ok]] = sk[orig_ok]
+            C_f[qy[orig_ok], qx[orig_ok]] = lk[orig_ok]
+            fwd = build_tables(R_f, C_f, s_sq, s_sq, valid=tgt)
+            n_bad_fwd = int(fwd.affected[tgt].sum())
+
+            bad_frac = (n_dup + n_bad_ret + n_bad_fwd) / max(n_valid, 1)
+            if bad_frac <= 0.005:
+                built = (rect, lo, hr, wr, in_ref, orig_ok, fwd, ret,
+                         tgt, bad_frac)
+                break
+            last_err = (f"plane routing {bad_frac:.2%} inexact "
+                        f"(dup {n_dup}, ret {n_bad_ret}, fwd {n_bad_fwd})")
+            c_scale = min(c_scale * 1.2, 4.0)
+            a_scale = min(a_scale * 1.2, 4.0)
+        if built is None:
+            raise RectifyUnsupported(f"view {v}: {last_err}")
+        rect, lo, hr, wr, in_ref, orig_ok, fwd, ret, tgt, bad_frac = built
 
         src_img = np.asarray(images[v], np.float32)
         if src_img.ndim == 2:
             src_img = src_img[..., None]
 
-        def channels(img, T):
-            warped = warp_to_rectified(jnp.asarray(img), T, hr, wr, offset=lo)
-            chw = jnp.moveaxis(warped, -1, 0)                 # [C, hr, wr]
-            gx, gy = central_gradients(chw)
-            return jnp.concatenate([chw, gx, gy], axis=0)     # [3C, hr, wr]
-
-        ref_rect = channels(ref_img, rect.T_ref)
-        src_rect = channels(src_img, rect.T_src)
+        ref_rect = _np_warp_channels(ref_img, rect.T_ref, hr, wr, lo)
+        src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo)
+        if params.pack_taps:
+            # Both bilinear taps as bf16 pairs in one int32 word — halves
+            # the gather count of the sampling kernel (pallas_rowgather).
+            src_rect = pack_taps(src_rect)
 
         # abc_local = L @ m with the window origin folded in:
         # disp = a*x̂g + b*ŷg + c and x̂g = x̂ + lo_x  =>  c' = c + a*lo_x + b*lo_y.
@@ -179,48 +395,6 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                           [0.0, 1.0, 0.0],
                           [lo[0], lo[1], 1.0]])
         L_local = shift @ L_global
-
-        # Pre-rotation: the rect<->reference maps of off-axis baselines
-        # contain up to 180 deg of in-plane rotation; rotating the reference
-        # grid by k*90 deg (exact array op at runtime) keeps the residual
-        # within +-45 deg, where the 2-pass table decomposition is exact.
-        T_inv = np.linalg.inv(rect.T_ref)
-        center = np.array([lo[0] + wr / 2.0, lo[1] + hr / 2.0])
-        k_rot = _pick_rotation(T_inv, center)
-        s_sq = max(h, w)
-
-        # Forward map: rect pixel -> nearest pixel of the k-rotated
-        # reference grid.  Rect pixels whose pre-image is outside the
-        # reference image are marked invalid: their cost is never read
-        # back, and excluding them keeps them from stealing table slots.
-        ys, xs = np.meshgrid(np.arange(hr, dtype=np.float64),
-                             np.arange(wr, dtype=np.float64), indexing="ij")
-        q = np.stack([xs + lo[0], ys + lo[1], np.ones_like(xs)], -1) @ T_inv.T
-        xr = q[..., 0] / q[..., 2]
-        yr = q[..., 1] / q[..., 2]
-        in_ref = ((xr > -0.5) & (xr < w - 0.5)
-                  & (yr > -0.5) & (yr < h - 0.5))
-        yk, xk = _land(yr, xr, k_rot, h, w)
-        fwd = build_tables(np.round(yk), np.round(xk), s_sq, s_sq,
-                           valid=in_ref)
-
-        # Return map: k-rotated full-grid reference pixel -> nearest rect
-        # pixel.  (Full grid, not the compressed half-grid: the half-grid's
-        # active-x zigzag breaks the smoothness the decomposition needs;
-        # the cost_fn un-rotates and compresses afterwards.)
-        sk, lk = np.meshgrid(np.arange(s_sq, dtype=np.float64),
-                             np.arange(s_sq, dtype=np.float64),
-                             indexing="ij")
-        yy, xx = _unland(sk, lk, k_rot, h, w)
-        orig_ok = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
-        qa = np.stack([xx, yy, np.ones_like(xx)], -1) @ rect.T_ref.T
-        with np.errstate(invalid="ignore", divide="ignore"):
-            xl = qa[..., 0] / qa[..., 2] - lo[0]
-            yl = qa[..., 1] / qa[..., 2] - lo[1]
-        xl = np.where(orig_ok, xl, 0.0)
-        yl = np.where(orig_ok, yl, 0.0)
-        ret = build_tables(np.round(yl), np.round(xl), hr, wr,
-                           valid=orig_ok)
 
         # Disparity clamp for cost evaluation (rect pixels): the depth range
         # maps to [f_new*B/depth_max, f_new*B/depth_min]; the margin admits
@@ -233,9 +407,11 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                          k_rot, (d_lo, d_hi)))
         info["pairs"].append({
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
-            "fwd_conflicts": fwd.conflicts,
-            "fwd_affected_frac": float(fwd.affected.mean()),
-            "ret_conflicts": ret.conflicts,
+            "scales": (round(a_scale, 3), round(b_shear, 3),
+                       round(c_scale, 3)),
+            # Plane-routing exactness, verified at build (<= 0.5%).
+            "routing_bad_frac": bad_frac,
+            "fwd_affected_frac": float(fwd.affected[tgt].mean()),
             "ret_affected_frac": float(ret.affected[orig_ok].mean()),
         })
 

@@ -28,14 +28,15 @@ def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3):
 
 
 def test_tables_are_clean():
-    """Even the worst synthetic geometry (+-120 deg baselines -> ~30 deg
-    residual rotation) must keep slot contention rare; affected outputs
-    read a <=1 px horizontal neighbor (benign for PatchMatch — the e2e
-    tests below are the quality gate)."""
+    """Plane routing must be (near-)exact: every reference pixel reads back
+    the cost of its OWN candidate plane.  build_rect_scene enforces
+    routing_bad_frac <= 0.5% (supersampled contention-free tables) — a
+    regression here silently costs ~100x depth accuracy."""
     _, _, _, _, _, info = make_setup()
     for pair in info["pairs"]:
-        assert pair["fwd_affected_frac"] < 0.05, pair
-        assert pair["ret_affected_frac"] < 0.10, pair
+        assert pair["routing_bad_frac"] <= 0.005, pair
+        assert pair["fwd_affected_frac"] <= 0.005, pair
+        assert pair["ret_affected_frac"] <= 0.005, pair
 
 
 @pytest.mark.parametrize("slant", [(0.0, 0.0), (0.35, -0.25)])
