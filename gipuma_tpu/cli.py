@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     # GT evaluation (main.cpp:378-385)
     p.add_argument("-gt", default=None, help="ground-truth depth (dmb/pfm)")
     p.add_argument("--gt_tol", type=float, default=1.0)
+    p.add_argument("--gt_tol2", type=float, default=None,
+                   help="second error tolerance (default 2*gt_tol)")
+    p.add_argument("-gt_nocc", default=None,
+                   help="non-occluded ground truth (dmb/pfm)")
+    p.add_argument("-occl_mask", default=None,
+                   help="occlusion mask image (png/pgm, nonzero = occluded)")
+    p.add_argument("-gt_normal", default=None,
+                   help="ground-truth normal map (3-channel dmb)")
     return p
 
 
@@ -137,18 +145,44 @@ def main(argv=None) -> int:
               f"depth=[{r.depth_min:.3f},{r.depth_max:.3f}]")
 
     if args.gt and len(results) == 1:
-        from .eval.metrics import depth_error
+        # GT evaluation (computeError / computeNormalError capability,
+        # groundTruthUtils.h:22-139, flags at main.cpp:378-385).
+        from .eval.metrics import depth_error, normal_error
         from .io.dmb import read_dmb
+        from .io.images import load_image
         from .io.pfm import read_pfm
         from .io.vis import save_png
-        gt = (read_dmb(args.gt) if args.gt.endswith(".dmb")
-              else read_pfm(args.gt))
-        rep = depth_error(results[0].depth, np.asarray(gt), tol=args.gt_tol)
+
+        def _read_map(path):
+            return np.asarray(read_dmb(path) if path.endswith(".dmb")
+                              else read_pfm(path))
+
+        occl = (load_image(args.occl_mask) > 0 if args.occl_mask else None)
+        rep = depth_error(results[0].depth, _read_map(args.gt),
+                          tol=args.gt_tol, tol2=args.gt_tol2,
+                          occlusion_mask=occl)
         print(f"GT error rate @{args.gt_tol}: {rep.error_rate:.4f} "
+              f"@tol2 {rep.error_rate_tol2:.4f} "
+              f"nocc {rep.error_rate_nocc:.4f} "
               f"(mean abs {rep.mean_abs_error:.4f})")
-        # Error-map PNG (groundTruthUtils capability, main.cpp:1123-1139).
-        err_png = (rep.error_map * 255).astype(np.uint8)
-        save_png(out_root / "gt_error.png", err_png)
+        # Error-map PNGs (main.cpp:1123-1139).
+        save_png(out_root / "gt_error.png",
+                 (rep.error_map * 255).astype(np.uint8))
+        if args.gt_nocc:
+            rep_n = depth_error(results[0].depth, _read_map(args.gt_nocc),
+                                tol=args.gt_tol, tol2=args.gt_tol2)
+            print(f"GT(nocc file) error rate @{args.gt_tol}: "
+                  f"{rep_n.error_rate:.4f}")
+            save_png(out_root / "gt_error_nocc.png",
+                     (rep_n.error_map * 255).astype(np.uint8))
+        if args.gt_normal:
+            nrep = normal_error(results[0].normals, _read_map(args.gt_normal))
+            print(f"GT normal error: >=0.2rad {nrep.error_rate_02:.4f} "
+                  f">=0.3rad {nrep.error_rate_03:.4f} "
+                  f"(mean {nrep.mean_angle_rad:.4f} rad)")
+            ang = np.nan_to_num(nrep.angle_map, nan=np.pi)
+            save_png(out_root / "gt_normal_error.png",
+                     np.clip(ang / np.pi * 255, 0, 255).astype(np.uint8))
 
     if args.fuse:
         from .fusion.fuse import fuse_depthmaps

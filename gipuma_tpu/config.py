@@ -108,6 +108,11 @@ class AlgorithmParams:
     # (window shape, rect-frame gradients).  Falls back to "exact" for
     # rigs that cannot be row-rectified (forward-motion baselines).
     cost_path: str = "exact"
+    # Pack both bilinear taps of the rect-path source channels as bf16
+    # pairs in one int32 word (ops/pallas_rowgather.pack_taps): halves the
+    # dynamic_gather count — the measured bottleneck of the whole engine —
+    # for <=0.4% tap quantization error.  f32 taps when False.
+    pack_taps: bool = True
 
     @property
     def box_hrad(self) -> int:

@@ -383,6 +383,12 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                            max_span_blocks=span_perm)      # [K3, Hrp, Wrp]
         m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
         abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
+        # NOTE: a fully-fused Pallas kernel (ops/pallas_rect_fused) was
+        # built and measured SLOWER than this path (89 ms vs 41 ms per
+        # view-eval at dino scale): profiling shows 96% of this path's time
+        # is the row_gather kernel itself (dynamic_gather instruction
+        # throughput); XLA fuses all the arithmetic between gather launches
+        # into negligible time, so there is nothing to fuse away.
         cost_rect = rect_pair_cost_batch(ref_r, src_r, abc, params,
                                          interpret=interpret,
                                          disp_lo=dbv[0], disp_hi=dbv[1],
