@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0,
                    help="PRNG seed (the reference's unimplemented "
                         "--initial_seed, main.cpp:394; here it works)")
+    p.add_argument("--pyramid_levels", type=int, default=None,
+                   help="coarse-to-fine levels (1 = off)")
+    p.add_argument("--pyramid_fine_iterations", type=int, default=None)
     p.add_argument("--cost_path", choices=["exact", "rect"], default=None,
                    help="cost evaluation path: exact reference formulas or "
                         "the rectified row-aligned TPU fast path")
@@ -95,7 +98,7 @@ def params_from_args(args) -> AlgorithmParams:
     for name in ("iterations", "tau_color", "tau_gradient", "alpha", "gamma",
                  "depth_min", "depth_max", "n_best", "good_factor",
                  "min_angle", "max_angle", "max_views", "cam_scale", "seed",
-                 "cost_path"):
+                 "cost_path", "pyramid_levels", "pyramid_fine_iterations"):
         v = getattr(args, name, None)
         if v is not None:
             over[name] = v

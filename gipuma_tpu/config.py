@@ -113,6 +113,12 @@ class AlgorithmParams:
     # dynamic_gather count — the measured bottleneck of the whole engine —
     # for <=0.4% tap quantization error.  f32 taps when False.
     pack_taps: bool = True
+    # Coarse-to-fine (models/pyramid.py): >1 runs the random-init
+    # iterations on 2x-downsampled levels and warm-starts each finer level
+    # from the upsampled plane field — ~4x cheaper propagation per coarse
+    # level; the reference always runs full resolution.  1 = off.
+    pyramid_levels: int = 1
+    pyramid_fine_iterations: int = 2
 
     @property
     def box_hrad(self) -> int:

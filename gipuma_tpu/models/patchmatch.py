@@ -311,7 +311,8 @@ def _host_loop_jits(cost_fn):
 
 
 def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
-                             cost_fn=multiview_cost) -> PMState:
+                             cost_fn=multiview_cost,
+                             state: PMState | None = None) -> PMState:
     """run_patchmatch with host-side sub-sweep dispatch.
 
     Keeps each sub-sweep a separate (cached) jit executable instead of one
@@ -321,10 +322,14 @@ def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
     negligible against sweep compute.  Mirrors the reference's six separate
     kernel launches per iteration (gipuma.cu:1911-1941) — structurally the
     same schedule.
+
+    state: optional warm-start state (utils/checkpoint.warm_start or a
+    coarser pyramid level) — skips the random init.
     """
     jinit, jclose, jfar, jrefine = _host_loop_jits(cost_fn)
 
-    state = jinit(scene, params, key)
+    if state is None:
+        state = jinit(scene, params, key)
     for _ in range(params.iterations):
         for parity in (0, 1):
             state = jclose(state, scene, params=params, parity=parity)

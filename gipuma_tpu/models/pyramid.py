@@ -1,0 +1,130 @@
+"""Coarse-to-fine (pyramid) PatchMatch — an acceleration the reference
+does not have (it always runs all iterations at full resolution,
+gipuma.cu:1911-1941).
+
+Most PatchMatch iterations exist to PROPAGATE good hypotheses across the
+image; propagation distance per iteration is resolution-independent in
+pixels, so running the early iterations on a 2x-downsampled image covers
+the same physical distance at 1/4 the sampling cost.  The final level(s)
+run at full resolution warm-started from the upsampled coarse plane field
+(utils/checkpoint.warm_start — plane normals and distances are
+resolution-independent world quantities, so they transfer exactly).
+
+Quality is validated against the single-level engine on the synthetic-GT
+suite (tests/test_pyramid.py): the refinement floor is identical because
+the final level runs the same full-resolution refinement schedule.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from ..config import AlgorithmParams
+from ..geometry.camera import FAKE_BASELINE, Rig, build_rig
+from ..ops.cost import multiview_cost
+from .patchmatch import finalize, run_patchmatch_host_loop
+from .scene import build_scene, ensure_even_width
+
+
+def downscale2(img: np.ndarray) -> np.ndarray:
+    """2x box-filter downscale ([H, W] or [H, W, C]); odd tails cropped."""
+    img = np.asarray(img, np.float32)
+    h2 = (img.shape[0] // 2) * 2
+    w2 = (img.shape[1] // 2) * 2
+    im = img[:h2, :w2]
+    return 0.25 * (im[0::2, 0::2] + im[1::2, 0::2]
+                   + im[0::2, 1::2] + im[1::2, 1::2])
+
+
+def upsample2_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest 2x upsample, cropped/edge-padded to exactly [h, w, ...]."""
+    up = np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
+    up = up[:h, :w]
+    pad = [(0, h - up.shape[0]), (0, w - up.shape[1])]
+    pad += [(0, 0)] * (up.ndim - 2)
+    return np.pad(up, pad, mode="edge")
+
+
+def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max):
+    scene = build_scene(images_l, rig_l, subset, params_l,
+                        depth_min, depth_max)
+    cost_fn = multiview_cost
+    if params_l.cost_path == "rect":
+        from ..ops.rect_cost import rect_multiview_cost
+        from .rect_scene import RectifyUnsupported, build_rect_scene
+        try:
+            scene, _ = build_rect_scene(images_l, rig_l, subset, params_l,
+                                        depth_min, depth_max, base=scene)
+            cost_fn = rect_multiview_cost
+        except RectifyUnsupported as e:
+            print(f"[gipuma_tpu] rect path unavailable at pyramid level "
+                  f"({e}); exact cost path")
+    return scene, cost_fn
+
+
+def run_patchmatch_pyramid(images: Sequence[np.ndarray],
+                           P_matrices: Sequence[np.ndarray],
+                           names: Sequence[str],
+                           subset: Sequence[int],
+                           params: AlgorithmParams,
+                           depth_min: float, depth_max: float,
+                           key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full coarse-to-fine run; returns (depth, normals_world, cost) numpy.
+
+    images: full-resolution images for ALL cameras (reference first);
+    the view subset and depth range come from full-resolution selection.
+    `params.pyramid_levels` levels; the coarsest runs `params.iterations`
+    random-init iterations, each finer level runs
+    `params.pyramid_fine_iterations` warm-started ones.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils.checkpoint import warm_start
+
+    levels = max(1, params.pyramid_levels)
+
+    # Per-level inputs; scene builds are independent of the runs, so they
+    # all start immediately on background threads — the (large) fine-level
+    # build overlaps the coarse-level device compute.
+    prep = []
+    imgs_l = [np.asarray(im, np.float32) for im in images]
+    by_level = {0: imgs_l}
+    for l in range(1, levels):
+        by_level[l] = [downscale2(im) for im in by_level[l - 1]]
+    for lvl in range(levels - 1, -1, -1):
+        il = [ensure_even_width(im) for im in by_level[lvl]]
+        rig_l = build_rig(P_matrices, names,
+                          cam_scale=params.cam_scale * (2 ** lvl))
+        iters = (params.iterations if lvl == levels - 1
+                 else params.pyramid_fine_iterations)
+        params_l = params.replace(iterations=iters).with_depth_range(
+            depth_min, depth_max, rig_l.f, FAKE_BASELINE)
+        prep.append((il, rig_l, params_l))
+
+    ex = ThreadPoolExecutor(max_workers=2)
+    futures = [ex.submit(_level_scene, il, rig_l, subset, params_l,
+                         depth_min, depth_max)
+               for il, rig_l, params_l in prep]
+
+    result = None
+    for (il, rig_l, params_l), fut in zip(prep, futures):
+        scene, cost_fn = fut.result()
+        h_l, w_l = il[0].shape[:2]
+
+        key, k_lvl = jax.random.split(key)
+        if result is None:
+            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
+                                             cost_fn=cost_fn)
+        else:
+            depth_up = upsample2_to(result[0], h_l, w_l)
+            normals_up = upsample2_to(result[1], h_l, w_l)
+            state = warm_start(scene, params_l, k_lvl, depth_up,
+                               normals_up, cost_fn=cost_fn)
+            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
+                                             cost_fn=cost_fn, state=state)
+        depth, normals, cost = finalize(state, scene)
+        result = (np.asarray(depth), np.asarray(normals), np.asarray(cost))
+    ex.shutdown()
+    return result

@@ -186,9 +186,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     margin = max(params.box_hrad, params.box_vrad) + 2
     ref_cam = rig.cameras[0]
 
-    per_pair = []
-    info = {"pairs": []}
-    for v in view_subset:
+    def build_pair(v):
         cam = rig.cameras[v]
         try:
             rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t)
@@ -403,9 +401,9 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         d_lo = fb / depth_max - 16.0
         d_hi = fb / depth_min + 16.0
 
-        per_pair.append((ref_rect, src_rect, L_local, fwd, ret, hr, wr,
-                         k_rot, (d_lo, d_hi)))
-        info["pairs"].append({
+        pair = (ref_rect, src_rect, L_local, fwd, ret, hr, wr,
+                k_rot, (d_lo, d_hi))
+        pinfo = {
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "scales": (round(a_scale, 3), round(b_shear, 3),
                        round(c_scale, 3)),
@@ -413,26 +411,53 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             "routing_bad_frac": bad_frac,
             "fwd_affected_frac": float(fwd.affected[tgt].mean()),
             "ret_affected_frac": float(ret.affected[orig_ok].mean()),
-        })
+        }
+        return pair, pinfo
+
+    # Pairs are independent; numpy releases the GIL on the big ops (warps,
+    # scatters, fancy indexing), so threads overlap them across cores.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(view_subset))) as ex:
+        built_pairs = list(ex.map(build_pair, view_subset))
+    per_pair = [p for p, _ in built_pairs]
+    info = {"pairs": [pi for _, pi in built_pairs]}
 
     hrp = _round_up(max(p[5] for p in per_pair), 8)
     wrp = max(p[6] for p in per_pair)
     s_sq = max(h, w)
 
+    # Pad + stack in NUMPY, one device transfer per final array: doing this
+    # with jnp ops issues dozens of small device calls through the TPU
+    # relay (tens of seconds of build time at dino scale).  Transfers go as
+    # f16 where lossless-enough (halves the per-reference-view transfer
+    # volume through the relay) and are cast back to f32 on device:
+    # permutation tables hold integers, exact in f16 up to 2048; gradient
+    # channels tolerate f16's 2^-11 relative error (same class as the bf16
+    # tap packing).  Falls back to f32 for tables beyond f16's exact-int
+    # range (>2 K-pixel rect grids).
     def pad_hw(a, th, tw):
-        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
-                       + ((0, th - a.shape[-2]), (0, tw - a.shape[-1])))
+        return np.pad(np.asarray(a), ((0, 0),) * (a.ndim - 2)
+                      + ((0, th - a.shape[-2]), (0, tw - a.shape[-1])))
 
-    ref_rect = jnp.stack([pad_hw(p[0], hrp, wrp) for p in per_pair])
-    src_rect = jnp.stack([pad_hw(p[1], hrp, wrp) for p in per_pair])
+    def ship(a: np.ndarray, f16_ok: bool) -> jnp.ndarray:
+        if f16_ok and a.dtype == np.float32:
+            return jnp.asarray(a.astype(np.float16)).astype(jnp.float32)
+        return jnp.asarray(a)
+
+    tables_f16 = max(hrp, wrp, s_sq) <= 2048
+
+    ref_rect = ship(np.stack([pad_hw(p[0], hrp, wrp) for p in per_pair]),
+                    True)
+    src_rect = ship(np.stack([pad_hw(p[1], hrp, wrp) for p in per_pair]),
+                    not params.pack_taps)
     L = jnp.asarray(np.stack([p[2] for p in per_pair]), jnp.float32)
-    fwd_c1 = jnp.stack([pad_hw(jnp.asarray(p[3].c1), s_sq, wrp)
-                        for p in per_pair])
-    fwd_r = jnp.stack([pad_hw(jnp.asarray(p[3].r), hrp, wrp)
-                       for p in per_pair])
-    ret_c1 = jnp.stack([pad_hw(jnp.asarray(p[4].c1), hrp, s_sq)
-                        for p in per_pair])
-    ret_r = jnp.stack([jnp.asarray(p[4].r) for p in per_pair])
+    fwd_c1 = ship(np.stack([pad_hw(p[3].c1, s_sq, wrp) for p in per_pair]),
+                  tables_f16)
+    fwd_r = ship(np.stack([pad_hw(p[3].r, hrp, wrp) for p in per_pair]),
+                 tables_f16)
+    ret_c1 = ship(np.stack([pad_hw(p[4].c1, hrp, s_sq) for p in per_pair]),
+                  tables_f16)
+    ret_r = ship(np.stack([p[4].r for p in per_pair]), tables_f16)
     rot_k = jnp.asarray([p[7] for p in per_pair], jnp.int32)
     disp_bounds = jnp.asarray(np.asarray([p[8] for p in per_pair],
                                          np.float32))

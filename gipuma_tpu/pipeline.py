@@ -111,6 +111,24 @@ def compute_depthmap(images: Sequence[np.ndarray],
                          "relax min/max angle or disable view_selection")
     params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
 
+    if params.pyramid_levels > 1:
+        # Coarse-to-fine (models/pyramid.py): random-init iterations run on
+        # downsampled levels, the final level refines at full resolution.
+        from .models.pyramid import run_patchmatch_pyramid
+        t0 = time.perf_counter()
+        depth, normals, cost = run_patchmatch_pyramid(
+            images, Ps, names, subset, params, depth_min, depth_max,
+            jax.random.PRNGKey(params.seed))
+        runtime = time.perf_counter() - t0
+        if w != orig_w:
+            depth = depth[:, :orig_w]
+            normals = normals[:, :orig_w]
+            cost = cost[:, :orig_w]
+        return RunResult(depth=depth, normals=normals, cost=cost,
+                         view_subset=subset, depth_min=depth_min,
+                         depth_max=depth_max, runtime_s=runtime,
+                         ref_name=names[0])
+
     scene = build_scene(images, rig, subset, params, depth_min, depth_max)
     if params.cost_path == "rect":
         from .models.rect_scene import RectifyUnsupported, build_rect_scene
