@@ -64,6 +64,79 @@ def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max):
     return scene, cost_fn
 
 
+def prepare_pyramid(images: Sequence[np.ndarray],
+                    P_matrices: Sequence[np.ndarray],
+                    names: Sequence[str],
+                    subset: Sequence[int],
+                    params: AlgorithmParams,
+                    depth_min: float, depth_max: float,
+                    lazy: bool = False):
+    """Build all level scenes (coarsest first).  Returns a list of
+    (scene, cost_fn, params_l, (h_l, w_l)).
+
+    Scene builds are independent of the runs, so they all start on
+    background threads immediately; the per-level arrays land on device
+    once built.  lazy=True returns futures instead of resolved tuples
+    (run_pyramid accepts either), so the large fine-level build overlaps
+    the coarse-level device compute."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    levels = max(1, params.pyramid_levels)
+    prep_in = []
+    by_level = {0: [np.asarray(im, np.float32) for im in images]}
+    for l in range(1, levels):
+        by_level[l] = [downscale2(im) for im in by_level[l - 1]]
+    for lvl in range(levels - 1, -1, -1):
+        il = [ensure_even_width(im) for im in by_level[lvl]]
+        rig_l = build_rig(P_matrices, names,
+                          cam_scale=params.cam_scale * (2 ** lvl))
+        iters = (params.iterations if lvl == levels - 1
+                 else params.pyramid_fine_iterations)
+        params_l = params.replace(iterations=iters).with_depth_range(
+            depth_min, depth_max, rig_l.f, FAKE_BASELINE)
+        prep_in.append((il, rig_l, params_l))
+
+    ex = ThreadPoolExecutor(max_workers=2)
+
+    def level_item(il, rig_l, params_l):
+        scene, cost_fn = _level_scene(il, rig_l, subset, params_l,
+                                      depth_min, depth_max)
+        return scene, cost_fn, params_l, il[0].shape[:2]
+
+    futures = [ex.submit(level_item, il, rig_l, params_l)
+               for il, rig_l, params_l in prep_in]
+    ex.shutdown(wait=not lazy)
+    if lazy:
+        return futures
+    return [f.result() for f in futures]
+
+
+def run_pyramid(prep, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the prepared levels (coarsest first, resolved tuples or
+    futures); returns numpy (depth, normals_world, cost) at full
+    resolution."""
+    from ..utils.checkpoint import warm_start
+
+    result = None
+    for item in prep:
+        scene, cost_fn, params_l, (h_l, w_l) = (
+            item.result() if hasattr(item, "result") else item)
+        key, k_lvl = jax.random.split(key)
+        if result is None:
+            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
+                                             cost_fn=cost_fn)
+        else:
+            depth_up = upsample2_to(result[0], h_l, w_l)
+            normals_up = upsample2_to(result[1], h_l, w_l)
+            state = warm_start(scene, params_l, k_lvl, depth_up,
+                               normals_up, cost_fn=cost_fn)
+            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
+                                             cost_fn=cost_fn, state=state)
+        depth, normals, cost = finalize(state, scene)
+        result = (np.asarray(depth), np.asarray(normals), np.asarray(cost))
+    return result
+
+
 def run_patchmatch_pyramid(images: Sequence[np.ndarray],
                            P_matrices: Sequence[np.ndarray],
                            names: Sequence[str],
@@ -79,52 +152,7 @@ def run_patchmatch_pyramid(images: Sequence[np.ndarray],
     random-init iterations, each finer level runs
     `params.pyramid_fine_iterations` warm-started ones.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..utils.checkpoint import warm_start
-
-    levels = max(1, params.pyramid_levels)
-
-    # Per-level inputs; scene builds are independent of the runs, so they
-    # all start immediately on background threads — the (large) fine-level
-    # build overlaps the coarse-level device compute.
-    prep = []
-    imgs_l = [np.asarray(im, np.float32) for im in images]
-    by_level = {0: imgs_l}
-    for l in range(1, levels):
-        by_level[l] = [downscale2(im) for im in by_level[l - 1]]
-    for lvl in range(levels - 1, -1, -1):
-        il = [ensure_even_width(im) for im in by_level[lvl]]
-        rig_l = build_rig(P_matrices, names,
-                          cam_scale=params.cam_scale * (2 ** lvl))
-        iters = (params.iterations if lvl == levels - 1
-                 else params.pyramid_fine_iterations)
-        params_l = params.replace(iterations=iters).with_depth_range(
-            depth_min, depth_max, rig_l.f, FAKE_BASELINE)
-        prep.append((il, rig_l, params_l))
-
-    ex = ThreadPoolExecutor(max_workers=2)
-    futures = [ex.submit(_level_scene, il, rig_l, subset, params_l,
-                         depth_min, depth_max)
-               for il, rig_l, params_l in prep]
-
-    result = None
-    for (il, rig_l, params_l), fut in zip(prep, futures):
-        scene, cost_fn = fut.result()
-        h_l, w_l = il[0].shape[:2]
-
-        key, k_lvl = jax.random.split(key)
-        if result is None:
-            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
-                                             cost_fn=cost_fn)
-        else:
-            depth_up = upsample2_to(result[0], h_l, w_l)
-            normals_up = upsample2_to(result[1], h_l, w_l)
-            state = warm_start(scene, params_l, k_lvl, depth_up,
-                               normals_up, cost_fn=cost_fn)
-            state = run_patchmatch_host_loop(scene, params_l, k_lvl,
-                                             cost_fn=cost_fn, state=state)
-        depth, normals, cost = finalize(state, scene)
-        result = (np.asarray(depth), np.asarray(normals), np.asarray(cost))
-    ex.shutdown()
-    return result
+    return run_pyramid(
+        prepare_pyramid(images, P_matrices, names, subset, params,
+                        depth_min, depth_max, lazy=True),
+        key)
