@@ -29,43 +29,33 @@ def main() -> int:
 
     from gipuma_tpu.config import PRESETS
     from gipuma_tpu.geometry.camera import FAKE_BASELINE
-    from gipuma_tpu.models.patchmatch import (finalize,
-                                              run_patchmatch_host_loop)
-    from gipuma_tpu.models.scene import build_scene
-    from gipuma_tpu.utils.synthetic import plane_scene
+    from gipuma_tpu.models.pyramid import prepare_pyramid, run_pyramid
+    from gipuma_tpu.utils.synthetic import make_ring_P, plane_scene
 
     h, w, n_views = 480, 640, 7
     images, rig, gt, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
                                      plane_depth=5.0, slant=(0.2, -0.1))
+    Ps = make_ring_P(n_views, h, w, 800.0, target_depth=5.0)
+    names = [f"cam{i:03d}" for i in range(n_views)]
     depth_min, depth_max = 3.0, 8.0
-    params = PRESETS["middlebury"].replace(seed=0, cost_path="rect")
-    params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
-    scene = build_scene(images, rig, list(range(1, n_views)), params,
-                        depth_min, depth_max)
+    # Production configuration: rectified row-aligned cost path (falls back
+    # to the exact path inside prepare when the rig can't be rectified),
+    # bf16 tap packing, 2-level coarse-to-fine.
+    params = PRESETS["middlebury"].replace(
+        seed=0, cost_path="rect", pyramid_levels=2,
+        pyramid_fine_iterations=2)
+    params = params.with_depth_range(depth_min, depth_max, rig.f,
+                                     FAKE_BASELINE)
+    subset = list(range(1, n_views))
 
-    from gipuma_tpu.ops.cost import multiview_cost
-    cost_fn = multiview_cost
-    try:
-        from gipuma_tpu.models.rect_scene import (RectifyUnsupported,
-                                                  build_rect_scene)
-        from gipuma_tpu.ops.rect_cost import rect_multiview_cost
-        scene, _ = build_rect_scene(images, rig, list(range(1, n_views)),
-                                    params, depth_min, depth_max, base=scene)
-        cost_fn = rect_multiview_cost
-    except Exception as e:   # rect unsupported -> exact path
-        print(f"# rect path unavailable ({e}); exact path", file=sys.stderr)
-        params = params.replace(cost_path="exact")
+    # Scene/table prep is one-time host work per reference view; in a batch
+    # it overlaps the previous view's device compute (models/pyramid.py),
+    # so the steady-state metric times the device runs.
+    prep = prepare_pyramid(images, Ps, names, subset, params,
+                           depth_min, depth_max)
 
-    jfin = jax.jit(finalize)
-
-    # Host loop over sub-sweep jits: mirrors the reference's six kernel
-    # launches per iteration (gipuma.cu:1911-1941) and stays within the TPU
-    # runtime's executable-size limits (CLAUDE.md).  Scene passed as an
-    # argument (closures bake the image tables into the program as constants
-    # and overflow the compile-request size at DTU resolutions).
     def job(k):
-        st = run_patchmatch_host_loop(scene, params, k, cost_fn=cost_fn)
-        return jfin(st, scene)[0]
+        return run_pyramid(prep, k)[0]
 
     # Warmup / compile.  np.asarray forces a real device fetch (timings
     # through the remote TPU relay lie otherwise, CLAUDE.md).

@@ -27,6 +27,10 @@ from ..ops.cost import multiview_cost
 from .patchmatch import finalize, run_patchmatch_host_loop
 from .scene import build_scene, ensure_even_width
 
+# Module-level jit (one cache for all runs): an eager finalize — or a jit
+# wrapper recreated per call — would dispatch/retrace per depth-map job.
+_jfin = jax.jit(finalize)
+
 
 def downscale2(img: np.ndarray) -> np.ndarray:
     """2x box-filter downscale ([H, W] or [H, W, C]); odd tails cropped."""
@@ -132,7 +136,7 @@ def run_pyramid(prep, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                                normals_up, cost_fn=cost_fn)
             state = run_patchmatch_host_loop(scene, params_l, k_lvl,
                                              cost_fn=cost_fn, state=state)
-        depth, normals, cost = finalize(state, scene)
+        depth, normals, cost = _jfin(state, scene)
         result = (np.asarray(depth), np.asarray(normals), np.asarray(cost))
     return result
 

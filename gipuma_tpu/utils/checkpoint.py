@@ -38,6 +38,18 @@ def load_state(path: str | os.PathLike) -> PMState:
                    key=jnp.asarray(z["key"]))
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _warm_start_jit(cost_fn):
+    """Cached jit per cost_fn — eager execution dispatches every op (and
+    two full multiview cost evaluations) one-by-one through the TPU relay,
+    ~100x slower than the compiled path (CLAUDE.md)."""
+    return jax.jit(_ft.partial(_warm_start_impl, cost_fn=cost_fn),
+                   static_argnames=("params",))
+
+
 def warm_start(scene: ScenePack, params: AlgorithmParams, key,
                depth: np.ndarray, normals_world: np.ndarray,
                cost_fn=multiview_cost) -> PMState:
@@ -50,11 +62,18 @@ def warm_start(scene: ScenePack, params: AlgorithmParams, key,
     (<= 0 / non-finite) get a fronto-parallel plane at the depth-range
     midpoint and will be repaired by subsequent propagation sweeps.
     """
+    depth = jnp.asarray(np.asarray(depth, np.float32))
+    normals_world = jnp.asarray(np.asarray(normals_world, np.float32))
+    return _warm_start_jit(cost_fn)(scene, params, key, depth,
+                                    normals_world)
+
+
+def _warm_start_impl(scene: ScenePack, params: AlgorithmParams, key,
+                     depth, normals_world, cost_fn=multiview_cost) -> PMState:
     h, w = scene.rays.shape[:2]
     x, y = T.pixel_grid(h, w)
 
-    depth = jnp.asarray(np.asarray(depth, np.float32))
-    n_world = jnp.asarray(np.asarray(normals_world, np.float32))
+    n_world = normals_world
     R_orig = jnp.linalg.inv(scene.R_orig_inv)
     n = jnp.einsum("ij,hwj->hwi", R_orig, n_world)
     n = T.normalize(n, eps=1e-20)
