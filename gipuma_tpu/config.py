@@ -113,6 +113,23 @@ class AlgorithmParams:
     # dynamic_gather count — the measured bottleneck of the whole engine —
     # for <=0.4% tap quantization error.  f32 taps when False.
     pack_taps: bool = True
+    # With pack_taps: ship only [img tap-pairs, gy tap-pairs] words and
+    # derive the x-gradient in-kernel from the image taps (gx = 2*(v1-v0),
+    # the derivative of the bilinear interpolant; the reference-side gx
+    # switches to the matching 2*(I[x+1]-I[x]) operator) — 2 gathers per
+    # sample instead of 3.  Deviation from the reference's central
+    # difference (gipuma.cu:270-276) is a half-pixel operator shift on the
+    # x-gradient only; quality validated on the synthetic-GT suite.
+    grad_fwd_pack: bool = True
+    # Evaluate all refinement rounds as ONE K-candidate batch generated
+    # around the sweep's starting state instead of the reference's
+    # sequential perturb-around-the-accepted-state loop (gipuma.cu:959-991).
+    # One batched kernel dispatch instead of ~5 — the per-launch overhead
+    # of the sampling kernels dominates K=1 evals on TPU.  The exploration
+    # differs (all rounds jitter the same center); quality is validated on
+    # the synthetic-GT suite.  Only takes effect for cost paths exposing a
+    # batch evaluator (the rect fast path).
+    refine_batched: bool = True
     # Coarse-to-fine (models/pyramid.py): >1 runs the random-init
     # iterations on 2x-downsampled levels and warm-starts each finer level
     # from the upsampled plane field — ~4x cheaper propagation per coarse

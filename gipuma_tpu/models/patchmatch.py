@@ -216,6 +216,53 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
                                    scene.cy, scene.alpha_focal)
 
     schedule = params.refinement_schedule()
+    batch = getattr(cost_fn, "batch", None)
+    if batch is not None and params.refine_batched:
+        # All rounds as ONE K-candidate batch around the sweep's starting
+        # state (see config.refine_batched): one batched kernel dispatch
+        # instead of one per round.
+        R = len(schedule)
+        key, kz, kn = jax.random.split(state.key, 3)
+        deltas = jnp.asarray(np.asarray(schedule, dtype=np.float32))
+        delta_z = deltas[:, 0][:, None, None]                 # [R, 1, 1]
+        delta_n = deltas[:, 1][:, None, None, None]           # [R, 1, 1, 1]
+        if params.no_texture_check:
+            tex_ok = cb.extract(scene.texture_ok, parity)
+
+        disp = T.disparity_depth(scene.f, scene.baseline, depth_now)
+        min_delta = -jnp.minimum(delta_z, params.min_disparity + disp[None])
+        max_delta = jnp.minimum(delta_z, params.max_disparity - disp[None])
+        u = jax.random.uniform(kz, (R,) + disp.shape, dtype=disp.dtype)
+        disp_new = disp[None] + min_delta + u * (max_delta - min_delta)
+        disp_new = jnp.clip(disp_new, params.min_disparity,
+                            params.max_disparity)
+        depth_new = T.disparity_depth(scene.f, scene.baseline, disp_new)
+
+        u_n = jax.random.uniform(kn, (R,) + n_now.shape, dtype=n_now.dtype)
+        n_new = T.normalize(n_now[None] + (u_n * 2.0 - 1.0) * delta_n,
+                            eps=1e-20)
+        n_new = T.flip_to_hemisphere(n_new, view_vec[None])
+        d_new = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_new, x, y,
+                                   depth_new)
+
+        ck_all = batch(scene, params, parity, n_new, d_new)   # [R, H, W2]
+        for k in range(R):
+            accept = ck_all[k] < c_now
+            if params.no_texture_check:
+                accept = accept & tex_ok
+            n_now = jnp.where(accept[..., None], n_new[k], n_now)
+            d_now = jnp.where(accept, d_new[k], d_now)
+            c_now = jnp.where(accept, ck_all[k], c_now)
+
+        if params.no_texture_check:
+            c_now = jnp.where(cb.extract(scene.texture_ok, parity), c_now,
+                              MAXCOST)
+        planes = cb.interleave(
+            state.planes, jnp.concatenate([n_now, d_now[..., None]], -1),
+            parity)
+        cost = cb.interleave(state.cost, c_now, parity)
+        return PMState(planes=planes, cost=cost, key=key)
+
     key = state.key
     # Rounds as a lax.scan over the stacked (delta_z, delta_n, key) schedule
     # so the compiled program holds ONE cost-kernel instance for all rounds.

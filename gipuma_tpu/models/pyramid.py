@@ -52,19 +52,24 @@ def upsample2_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max):
-    scene = build_scene(images_l, rig_l, subset, params_l,
-                        depth_min, depth_max)
     cost_fn = multiview_cost
     if params_l.cost_path == "rect":
         from ..ops.rect_cost import rect_multiview_cost
         from .rect_scene import RectifyUnsupported, build_rect_scene
+        # The rect path reads only the geometry fields of the base scene —
+        # build it lite (skips the exact path's sampling tables, the
+        # dominant scene-build cost); rebuild full only on fallback.
+        base = build_scene(images_l, rig_l, subset, params_l,
+                           depth_min, depth_max, lite=True)
         try:
             scene, _ = build_rect_scene(images_l, rig_l, subset, params_l,
-                                        depth_min, depth_max, base=scene)
-            cost_fn = rect_multiview_cost
+                                        depth_min, depth_max, base=base)
+            return scene, rect_multiview_cost
         except RectifyUnsupported as e:
             print(f"[gipuma_tpu] rect path unavailable at pyramid level "
                   f"({e}); exact cost path")
+    scene = build_scene(images_l, rig_l, subset, params_l,
+                        depth_min, depth_max)
     return scene, cost_fn
 
 

@@ -35,7 +35,7 @@ from .scene import build_scene
 
 
 def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
-                      lo: np.ndarray) -> np.ndarray:
+                      lo: np.ndarray, grad_fwd: bool = False) -> np.ndarray:
     """Inverse-warp img [H, W, C] into the rect window and stack gradient
     channels -> [3C, hr, wr].  Pure numpy: this one-time host setup ran as
     12 distinct-shape XLA programs before, costing ~100 s of remote TPU
@@ -43,30 +43,42 @@ def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
     for tests).  Bilinear clamp-to-edge semantics match ops/sampling.
     bilinear_sample; gradients match ops/sampling.central_gradients."""
     h, w = img.shape[:2]
+    C = img.shape[2]
     Tinv = np.linalg.inv(np.asarray(T, np.float64))
-    ys, xs = np.meshgrid(np.arange(hr, dtype=np.float64) + lo[1],
-                         np.arange(wr, dtype=np.float64) + lo[0],
-                         indexing="ij")
-    q = np.stack([xs, ys, np.ones_like(xs)], -1) @ Tinv.T
-    xw = (q[..., 0] / q[..., 2]).astype(np.float32)
-    yw = (q[..., 1] / q[..., 2]).astype(np.float32)
-    xw = np.clip(xw, 0.0, float(w - 1))
-    yw = np.clip(yw, 0.0, float(h - 1))
-    x0 = np.clip(np.floor(xw).astype(np.int32), 0, w - 2)
-    y0 = np.clip(np.floor(yw).astype(np.int32), 0, h - 2)
+    # Homography evaluation is separable: three rank-1 grids in float64
+    # (precision for the coordinates), bilinear arithmetic in float32.
+    xs = np.arange(wr, dtype=np.float64) + lo[0]
+    ys = np.arange(hr, dtype=np.float64) + lo[1]
+    qx = Tinv[0, 0] * xs[None, :] + (Tinv[0, 1] * ys + Tinv[0, 2])[:, None]
+    qy = Tinv[1, 0] * xs[None, :] + (Tinv[1, 1] * ys + Tinv[1, 2])[:, None]
+    qz = Tinv[2, 0] * xs[None, :] + (Tinv[2, 1] * ys + Tinv[2, 2])[:, None]
+    inv = 1.0 / qz
+    xw = np.clip((qx * inv).astype(np.float32), 0.0, np.float32(w - 1))
+    yw = np.clip((qy * inv).astype(np.float32), 0.0, np.float32(h - 1))
+    x0 = np.minimum(xw.astype(np.int32), w - 2)      # floor: xw >= 0
+    y0 = np.minimum(yw.astype(np.int32), h - 2)
     fx = np.clip(xw - x0, 0.0, 1.0)[..., None]
     fy = np.clip(yw - y0, 0.0, 1.0)[..., None]
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    warped = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-              + (v10 * (1 - fx) + v11 * fx) * fy)        # [hr, wr, C]
-    chw = np.moveaxis(warped, -1, 0)                     # [C, hr, wr]
+    flat = img.reshape(-1, C)
+    i00 = y0.astype(np.int64) * w + x0
+    v00 = flat[i00.ravel()].reshape(hr, wr, C)
+    v01 = flat[(i00 + 1).ravel()].reshape(hr, wr, C)
+    v10 = flat[(i00 + w).ravel()].reshape(hr, wr, C)
+    v11 = flat[(i00 + w + 1).ravel()].reshape(hr, wr, C)
+    top = v00 + fx * (v01 - v00)
+    bot = v10 + fx * (v11 - v10)
+    warped = top + fy * (bot - top)                  # [hr, wr, C]
+    chw = np.moveaxis(warped, -1, 0)                 # [C, hr, wr]
     gx = np.empty_like(chw)
-    gx[..., 1:-1] = chw[..., 2:] - chw[..., :-2]
-    gx[..., :1] = chw[..., 1:2] - chw[..., :1]
-    gx[..., -1:] = chw[..., -1:] - chw[..., -2:-1]
+    if grad_fwd:
+        # 2x forward difference — the operator matching the in-kernel
+        # gx = 2*(v1 - v0) of the grad_fwd sampling path (pallas_rowgather).
+        gx[..., :-1] = 2.0 * (chw[..., 1:] - chw[..., :-1])
+        gx[..., -1:] = gx[..., -2:-1]
+    else:
+        gx[..., 1:-1] = chw[..., 2:] - chw[..., :-2]
+        gx[..., :1] = chw[..., 1:2] - chw[..., :1]
+        gx[..., -1:] = chw[..., -1:] - chw[..., -2:-1]
     gy = np.empty_like(chw)
     gy[..., 1:-1, :] = chw[..., 2:, :] - chw[..., :-2, :]
     gy[..., :1, :] = chw[..., 1:2, :] - chw[..., :1, :]
@@ -178,7 +190,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     """
     if base is None:
         base = build_scene(images, rig, view_subset, params,
-                           depth_min, depth_max)
+                           depth_min, depth_max, lite=True)
     ref_img = np.asarray(images[0], np.float32)
     if ref_img.ndim == 2:
         ref_img = ref_img[..., None]
@@ -379,12 +391,21 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         if src_img.ndim == 2:
             src_img = src_img[..., None]
 
-        ref_rect = _np_warp_channels(ref_img, rect.T_ref, hr, wr, lo)
+        gfwd = params.pack_taps and params.grad_fwd_pack
+        ref_rect = _np_warp_channels(ref_img, rect.T_ref, hr, wr, lo,
+                                     grad_fwd=gfwd)
         src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo)
         if params.pack_taps:
             # Both bilinear taps as bf16 pairs in one int32 word — halves
             # the gather count of the sampling kernel (pallas_rowgather).
-            src_rect = pack_taps(src_rect)
+            Cc = src_rect.shape[0] // 3
+            if gfwd:
+                # Ship only [img, gy] words; gx comes from the img taps
+                # in-kernel (2 gathers/sample instead of 3).
+                src_rect = pack_taps(np.concatenate(
+                    [src_rect[:Cc], src_rect[2 * Cc:]], axis=0))
+            else:
+                src_rect = pack_taps(src_rect)
 
         # abc_local = L @ m with the window origin folded in:
         # disp = a*x̂g + b*ŷg + c and x̂g = x̂ + lo_x  =>  c' = c + a*lo_x + b*lo_y.
@@ -435,29 +456,29 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # channels tolerate f16's 2^-11 relative error (same class as the bf16
     # tap packing).  Falls back to f32 for tables beyond f16's exact-int
     # range (>2 K-pixel rect grids).
-    def pad_hw(a, th, tw):
-        return np.pad(np.asarray(a), ((0, 0),) * (a.ndim - 2)
-                      + ((0, th - a.shape[-2]), (0, tw - a.shape[-1])))
-
-    def ship(a: np.ndarray, f16_ok: bool) -> jnp.ndarray:
-        if f16_ok and a.dtype == np.float32:
-            return jnp.asarray(a.astype(np.float16)).astype(jnp.float32)
-        return jnp.asarray(a)
+    def assemble(arrs, th, tw, f16_ok) -> jnp.ndarray:
+        """Pad each [..., h, w] array to [th, tw], stack over a new view
+        axis, and ship — ONE preallocated host buffer in the transfer dtype
+        instead of a pad -> stack -> astype copy chain per array."""
+        a0 = np.asarray(arrs[0])
+        f16 = f16_ok and a0.dtype == np.float32
+        out = np.zeros((len(arrs),) + a0.shape[:-2] + (th, tw),
+                       np.float16 if f16 else a0.dtype)
+        for i, a in enumerate(arrs):
+            out[i, ..., :a.shape[-2], :a.shape[-1]] = a
+        x = jnp.asarray(out)
+        return x.astype(jnp.float32) if f16 else x
 
     tables_f16 = max(hrp, wrp, s_sq) <= 2048
 
-    ref_rect = ship(np.stack([pad_hw(p[0], hrp, wrp) for p in per_pair]),
-                    True)
-    src_rect = ship(np.stack([pad_hw(p[1], hrp, wrp) for p in per_pair]),
-                    not params.pack_taps)
+    ref_rect = assemble([p[0] for p in per_pair], hrp, wrp, True)
+    src_rect = assemble([p[1] for p in per_pair], hrp, wrp,
+                        not params.pack_taps)
     L = jnp.asarray(np.stack([p[2] for p in per_pair]), jnp.float32)
-    fwd_c1 = ship(np.stack([pad_hw(p[3].c1, s_sq, wrp) for p in per_pair]),
-                  tables_f16)
-    fwd_r = ship(np.stack([pad_hw(p[3].r, hrp, wrp) for p in per_pair]),
-                 tables_f16)
-    ret_c1 = ship(np.stack([pad_hw(p[4].c1, hrp, s_sq) for p in per_pair]),
-                  tables_f16)
-    ret_r = ship(np.stack([p[4].r for p in per_pair]), tables_f16)
+    fwd_c1 = assemble([p[3].c1 for p in per_pair], s_sq, wrp, tables_f16)
+    fwd_r = assemble([p[3].r for p in per_pair], hrp, wrp, tables_f16)
+    ret_c1 = assemble([p[4].c1 for p in per_pair], hrp, s_sq, tables_f16)
+    ret_r = assemble([p[4].r for p in per_pair], s_sq, s_sq, tables_f16)
     rot_k = jnp.asarray([p[7] for p in per_pair], jnp.int32)
     disp_bounds = jnp.asarray(np.asarray([p[8] for p in per_pair],
                                          np.float32))

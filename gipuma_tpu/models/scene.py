@@ -34,12 +34,19 @@ def ensure_even_width(img: np.ndarray) -> np.ndarray:
 def build_scene(images: Sequence[np.ndarray], rig: Rig,
                 view_subset: Sequence[int], params: AlgorithmParams,
                 depth_min: float, depth_max: float,
-                dtype=jnp.float32) -> ScenePack:
+                dtype=jnp.float32, lite: bool = False) -> ScenePack:
     """Pack reference image (index 0) + selected source views.
 
     images: list of [H, W] or [H, W, C] float arrays (intensity scale 0-255,
     matching the reference's CV_32F grayscale conversion, main.cpp:741-751).
     view_subset: indices into `images`/rig.cameras (excluding 0).
+
+    lite=True skips the exact-cost-path sampling arrays (bilinear tap
+    tables, Pallas block splits, padded reference windows) — the rect fast
+    path (ops/rect_cost.py) reads only the geometry fields, and these
+    arrays dominate scene-build time and device memory.  The skipped
+    fields hold rank-preserving dummies so the pytree structure (and the
+    view axis for pad_scene_views) stays intact.
     """
     ref = np.asarray(images[0], dtype=np.float32)
     if ref.ndim == 2:
@@ -50,39 +57,53 @@ def build_scene(images: Sequence[np.ndarray], rig: Rig,
 
     cams = rig_to_cameraset(rig)
 
-    # Reference channels, padded for checkerboard window access.
-    ref_j = jnp.asarray(ref, dtype=dtype)
-    gx, gy = central_gradients(jnp.moveaxis(ref_j, -1, 0))
-    gx = jnp.moveaxis(gx, 0, -1)
-    gy = jnp.moveaxis(gy, 0, -1)
+    V = len(view_subset)
     pr = params.box_vrad
     pc = params.box_hrad + 2
-    ref_img_eo = cb.PaddedEO.build(ref_j, pr, pc)
-    ref_gx_eo = cb.PaddedEO.build(gx, pr, pc)
-    ref_gy_eo = cb.PaddedEO.build(gy, pr, pc)
+    ref_j = jnp.asarray(ref, dtype=dtype)
+    if lite:
+        tiny = jnp.zeros((2, 2, C), dtype)
+        ref_img_eo = cb.PaddedEO.build(tiny, 0, 0)
+        ref_gx_eo = ref_img_eo
+        ref_gy_eo = ref_img_eo
+        src = jnp.zeros((V, 1, 1), dtype)
+        src_blocks = jnp.zeros((V, 1, 1, 1, 128), dtype)
+    else:
+        # Reference channels, padded for checkerboard window access.
+        gx, gy = central_gradients(jnp.moveaxis(ref_j, -1, 0))
+        gx = jnp.moveaxis(gx, 0, -1)
+        gy = jnp.moveaxis(gy, 0, -1)
+        ref_img_eo = cb.PaddedEO.build(ref_j, pr, pc)
+        ref_gx_eo = cb.PaddedEO.build(gx, pr, pc)
+        ref_gy_eo = cb.PaddedEO.build(gy, pr, pc)
 
     # Source views: packed (img, gx, gy) channels.
     src_list, A_list, b_list = [], [], []
     for v in view_subset:
-        img = np.asarray(images[v], dtype=np.float32)
-        if img.ndim == 2:
-            img = img[..., None]
-        assert img.shape[:2] == (h, w), "all views must share the image size"
-        img_j = jnp.asarray(img, dtype=dtype)
-        vgx, vgy = central_gradients(jnp.moveaxis(img_j, -1, 0))
-        src_list.append(jnp.concatenate(
-            [img_j, jnp.moveaxis(vgx, 0, -1), jnp.moveaxis(vgy, 0, -1)], axis=-1))
+        if not lite:
+            img = np.asarray(images[v], dtype=np.float32)
+            if img.ndim == 2:
+                img = img[..., None]
+            assert img.shape[:2] == (h, w), \
+                "all views must share the image size"
+            img_j = jnp.asarray(img, dtype=dtype)
+            vgx, vgy = central_gradients(jnp.moveaxis(img_j, -1, 0))
+            src_list.append(jnp.concatenate(
+                [img_j, jnp.moveaxis(vgx, 0, -1), jnp.moveaxis(vgy, 0, -1)],
+                axis=-1))
         cam = rig.cameras[v]
         A, b = T.warp_coefficients(cam.K, cam.R, cam.t)
         A_list.append(A)
         b_list.append(b)
 
-    src_hwc = jnp.stack(src_list)                   # [V, H, W, 3C]
-    # Bilinear 2x2 tap table for the XLA sampler: [V, H*W, 4*3C].
-    src = jax.vmap(pack_bilinear_taps)(src_hwc)
-    # Block-split copy for the Pallas sampler: [V, NB, 3C, H, 128].
-    src_chw = jnp.moveaxis(src_hwc, -1, 1)          # [V, 3C, H, W]
-    src_blocks = jax.vmap(lambda s: split_blocks(pad_width_to_128(s)))(src_chw)
+    if not lite:
+        src_hwc = jnp.stack(src_list)               # [V, H, W, 3C]
+        # Bilinear 2x2 tap table for the XLA sampler: [V, H*W, 4*3C].
+        src = jax.vmap(pack_bilinear_taps)(src_hwc)
+        # Block-split copy for the Pallas sampler: [V, NB, 3C, H, 128].
+        src_chw = jnp.moveaxis(src_hwc, -1, 1)      # [V, 3C, H, W]
+        src_blocks = jax.vmap(
+            lambda s: split_blocks(pad_width_to_128(s)))(src_chw)
     A = jnp.asarray(np.stack(A_list), dtype=dtype)  # [V, 3, 3]
     b = jnp.asarray(np.stack(b_list), dtype=dtype)  # [V, 3]
 

@@ -38,7 +38,7 @@ def _unpack_taps(vp):
 
 
 def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
-                       SPAN, B, PACKED):
+                       SPAN, B, PACKED, GFWD):
     # Per [8, 128] tile of samples: the needed source rows are exactly the
     # tile's own rows; only the x-block range is dynamic.  When SPAN < NB,
     # the tile's x values are known (guaranteed by the caller) to span at
@@ -49,108 +49,122 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
     # The x batch axis (B sample grids sharing one source) amortizes the
     # source DMA and the kernel launch across candidates.
     #
+    # Block loops stay REGISTER-resident and unconditional: a dynamic-span
+    # variant (skip blocks past the tile's max index with pl.when + VMEM
+    # accumulators) was built and measured ~2x SLOWER on v5e — the
+    # accumulator scratch round-trips and predication overhead cost more
+    # than the skipped 16-cycle gathers (scripts/tpu_dynspan_ab.py).
+    #
     # PACKED: int32 source where each word packs BOTH bilinear taps
     # (bf16(src[x]) << 16 | bf16(src[x+1])) — built by pack_taps().  One
     # dynamic_gather then serves both taps; gathers are the measured
     # bottleneck of the whole engine (~16 cycles each on v5e), so this is a
     # ~1.8x kernel speedup for ~0.2% tap quantization (|err| <= 0.5/128 of
     # the value, well under the photometric noise MVS costs tolerate).
-    def lerp_packed(vp, fx):
-        v0, v1 = _unpack_taps(vp)
-        return v0 * (1 - fx) + v1 * fx
-
+    #
+    # GFWD (requires PACKED): the source holds 2C' words per pixel —
+    # [C' image tap-pairs][C' y-gradient tap-pairs] — and the kernel emits
+    # 3C' channels [img, gx, gy]: the x-gradient is the DERIVATIVE OF THE
+    # BILINEAR INTERPOLANT, gx = 2*(v1 - v0), free from the image tap pair
+    # (the matching ref-side operator is 2*(I[x+1] - I[x]); the factor 2
+    # keeps the reference's un-normalized central-difference scale,
+    # gipuma.cu:270-276).  Cuts the gather count from 3 to 2 words/sample
+    # with no sampling approximation for img/gy.
     def group(bi, gi):
         rows = pl.ds(gi * 8, 8)
         for g in range(G):                 # static sample column groups
             xx = x_ref[bi, rows, g * 128:(g + 1) * 128]
             x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
             fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
-            if SPAN < NB:
+            windowed = SPAN < NB
+            if windowed:
                 base = jnp.clip(jnp.min(x0i) // 128, 0, NB - SPAN) * 128
                 cl_all = x0i - base
-                for c in range(C):
-                    scratch_ref[:, :] = src_ref[c, rows,
-                                                pl.ds(base, SPAN * 128)]
-                    if PACKED:
-                        vp = jnp.zeros((8, 128), jnp.int32)
-                        for b in range(SPAN):
-                            blk = scratch_ref[:, b * 128:(b + 1) * 128]
-                            cl = cl_all - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            vp = jnp.where((cl >= 0) & (cl < 128), g0, vp)
-                        out = lerp_packed(vp, fx)
-                    else:
-                        v0 = jnp.zeros((8, 128), jnp.float32)
-                        v1 = jnp.zeros((8, 128), jnp.float32)
-                        for b in range(SPAN):
-                            blk = scratch_ref[:, b * 128:(b + 1) * 128]
-                            cl = cl_all - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            g1 = jnp.take_along_axis(
-                                blk, jnp.clip(cl + 1, 0, 127), axis=1)
-                            v0 = jnp.where((cl >= 0) & (cl < 128), g0, v0)
-                            v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128),
-                                           g1, v1)
-                        out = v0 * (1 - fx) + v1 * fx
-                    o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
+                nblk = SPAN
             else:
                 bxmin = jnp.min(x0i) // 128
                 bxmax = (jnp.max(x0i) + 1) // 128
-                for c in range(C):
-                    if PACKED:
-                        vp = jnp.zeros((8, 128), jnp.int32)
-                        for b in range(NB):    # static, scalar-predicated
-                            pred = (b >= bxmin) & (b <= bxmax)
-                            blk = src_ref[c, rows, b * 128:(b + 1) * 128]
-                            cl = x0i - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            vp = jnp.where((cl >= 0) & (cl < 128) & pred,
-                                           g0, vp)
-                        out = lerp_packed(vp, fx)
-                    else:
-                        v0 = jnp.zeros((8, 128), jnp.float32)
-                        v1 = jnp.zeros((8, 128), jnp.float32)
-                        for b in range(NB):    # static, scalar-predicated
-                            pred = (b >= bxmin) & (b <= bxmax)
-                            blk = src_ref[c, rows, b * 128:(b + 1) * 128]
-                            cl = x0i - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            g1 = jnp.take_along_axis(
-                                blk, jnp.clip(cl + 1, 0, 127), axis=1)
-                            v0 = jnp.where((cl >= 0) & (cl < 128) & pred,
-                                           g0, v0)
-                            v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
-                                           & pred, g1, v1)
-                        out = v0 * (1 - fx) + v1 * fx
-                    o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
+                cl_all = x0i
+                nblk = NB
+            for c in range(C):
+                if windowed:
+                    scratch_ref[:, :] = src_ref[c, rows,
+                                                pl.ds(base, SPAN * 128)]
+                    blk_at = (lambda b:
+                              scratch_ref[:, b * 128:(b + 1) * 128])
+                    pred_at = lambda b: True
+                else:
+                    blk_at = (lambda b:
+                              src_ref[c, rows, b * 128:(b + 1) * 128])
+                    pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
+                if PACKED:
+                    vp = jnp.zeros((8, 128), jnp.int32)
+                    for b in range(nblk):
+                        blk = blk_at(b)
+                        cl = cl_all - b * 128
+                        g0 = jnp.take_along_axis(
+                            blk, jnp.clip(cl, 0, 127), axis=1)
+                        vp = jnp.where((cl >= 0) & (cl < 128) & pred_at(b),
+                                       g0, vp)
+                    v0, v1 = _unpack_taps(vp)
+                    if GFWD:
+                        half = C // 2
+                        if c < half:        # image word: img + gx
+                            o_ref[bi, c, rows, g * 128:(g + 1) * 128] = (
+                                v0 * (1 - fx) + v1 * fx)
+                            o_ref[bi, half + c, rows,
+                                  g * 128:(g + 1) * 128] = 2.0 * (v1 - v0)
+                        else:               # y-gradient word
+                            o_ref[bi, half + c, rows,
+                                  g * 128:(g + 1) * 128] = (
+                                v0 * (1 - fx) + v1 * fx)
+                        continue
+                    out = v0 * (1 - fx) + v1 * fx
+                else:
+                    v0 = jnp.zeros((8, 128), jnp.float32)
+                    v1 = jnp.zeros((8, 128), jnp.float32)
+                    for b in range(nblk):
+                        blk = blk_at(b)
+                        cl = cl_all - b * 128
+                        g0 = jnp.take_along_axis(
+                            blk, jnp.clip(cl, 0, 127), axis=1)
+                        g1 = jnp.take_along_axis(
+                            blk, jnp.clip(cl + 1, 0, 127), axis=1)
+                        v0 = jnp.where((cl >= 0) & (cl < 128) & pred_at(b),
+                                       g0, v0)
+                        v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
+                                       & pred_at(b), g1, v1)
+                    out = v0 * (1 - fx) + v1 * fx
+                o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
 
     for bi in range(B):
         for gi in range(x_ref.shape[1] // 8):
             group(bi, gi)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_span_blocks"))
-def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None):
+@functools.partial(jax.jit, static_argnames=("interpret", "max_span_blocks",
+                                              "grad_fwd"))
+def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
+                     grad_fwd=False):
     C, H, W = src_chw.shape
     B, M, WS = x.shape
     packed = src_chw.dtype == jnp.int32
+    assert not grad_fwd or (packed and C % 2 == 0), \
+        "grad_fwd needs a packed [img-taps, gy-taps] source"
+    co = C + C // 2 if grad_fwd else C
     nb = W // 128
     span = nb if max_span_blocks is None else min(max_span_blocks, nb)
     kernel = functools.partial(_row_gather_kernel, W=W, NB=nb,
                                C=C, G=WS // 128, SPAN=span, B=B,
-                               PACKED=packed)
+                               PACKED=packed, GFWD=grad_fwd)
     br = BLOCK_ROWS
     return pl.pallas_call(
         kernel,
         grid=(M // br,),
         in_specs=[pl.BlockSpec((C, br, W), lambda i: (0, i, 0)),
                   pl.BlockSpec((B, br, WS), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((B, C, br, WS), lambda i: (0, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, C, M, WS), jnp.float32),
+        out_specs=pl.BlockSpec((B, co, br, WS), lambda i: (0, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, co, M, WS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, span * 128), src_chw.dtype)],
         interpret=interpret,
     )(src_chw, x)
@@ -174,7 +188,8 @@ def pack_taps(src: np.ndarray) -> np.ndarray:
 
 def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
                interpret: bool = False,
-               max_span_blocks: int | None = None) -> jnp.ndarray:
+               max_span_blocks: int | None = None,
+               grad_fwd: bool = False) -> jnp.ndarray:
     """Linear interpolation along rows: out[c, i, j] = lerp(src[c, i, :], x[i, j]).
 
     src_chw: [C, H, W] with H == x.shape[0] (padded by callers) and
@@ -184,15 +199,21 @@ def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
     max_span_blocks: caller-guaranteed bound on the number of 128-column
     source blocks any [8, 128] tile of x touches — enables the fast
     scratch-window path (values violating the bound read 0.0, they do not
-    fault).  None = no guarantee (full predicated block scan)."""
+    fault).  None = no guarantee (full predicated block scan).
+
+    grad_fwd: src_chw is packed [C' img tap-pairs, C' gy tap-pairs] and the
+    result has 3C' channels [img, gx, gy] with gx = 2*(v1 - v0) (see the
+    kernel docstring)."""
     out = row_gather_batch(src_chw, x[None], interpret=interpret,
-                           max_span_blocks=max_span_blocks)
+                           max_span_blocks=max_span_blocks,
+                           grad_fwd=grad_fwd)
     return out[0]
 
 
 def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
                      interpret: bool = False,
-                     max_span_blocks: int | None = None) -> jnp.ndarray:
+                     max_span_blocks: int | None = None,
+                     grad_fwd: bool = False) -> jnp.ndarray:
     """row_gather for B sample grids sharing one source: x [B, H, Ws] ->
     [B, C, H, Ws] in ONE kernel launch (candidate batching)."""
     C, H, W = src_chw.shape
@@ -206,7 +227,8 @@ def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
         x = jnp.pad(x, ((0, 0), (0, pad_r), (0, pad_c)))
         src_chw = jnp.pad(src_chw, ((0, 0), (0, pad_r), (0, 0)))
     out = _row_gather_call(src_chw, x, interpret=interpret,
-                           max_span_blocks=max_span_blocks)
+                           max_span_blocks=max_span_blocks,
+                           grad_fwd=grad_fwd)
     if pad_c or pad_r:
         out = out[:, :, :M, :Ws]
     return out

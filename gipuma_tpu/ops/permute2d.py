@@ -62,29 +62,60 @@ def _smooth_fill(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
     """Per-column inverse-map interpolation: the ideal pass-1 table
     C1[r, l] = C at the output row s where R(s, l) == r.  Used as the fill
     for unwritten/contended slots so the table stays SMOOTH — junk fills
-    would blow up the per-tile span the scratch-window gather relies on."""
+    would blow up the per-tile span the scratch-window gather relies on.
+
+    Fully vectorized (one argsort + one searchsorted over all columns via
+    the per-column-offset-key trick): the previous per-column
+    np.interp loop dominated rect-scene build time at image scale."""
     out_h, out_w = R.shape
-    fill = np.zeros((in_h, out_w), np.float64)
     rows = np.arange(in_h, dtype=np.float64)
-    good = []
-    for l in range(out_w):
-        ok = valid[:, l]
-        if ok.sum() < 2:
-            continue
-        xp = R[ok, l].astype(np.float64)
-        fp = C[ok, l].astype(np.float64)
-        order = np.argsort(xp, kind="stable")
-        fill[:, l] = np.interp(rows, xp[order], fp[order])
-        good.append(l)
-    if good:
+
+    # Sort each column's valid (R, C) pairs by R; invalids sort to the end.
+    big = float(in_h + 2)
+    xp = np.where(valid, R.astype(np.float64), big)
+    order = np.argsort(xp, axis=0, kind="stable")
+    xs = np.take_along_axis(xp, order, axis=0).T            # [out_w, out_h]
+    fs = np.take_along_axis(C.astype(np.float64), order, axis=0).T
+    cnt = valid.sum(axis=0)                                 # [out_w]
+    good = cnt >= 2
+
+    # Per-column searchsorted of the row grid, batched with offset keys:
+    # column l's sorted xs live in [l*stride, (l+1)*stride) of the flat key
+    # space, so one global searchsorted answers every (column, row) query.
+    stride = big + 1.0
+    colkey = np.arange(out_w, dtype=np.float64) * stride
+    flat_xs = (xs + colkey[:, None]).ravel()
+    flat_q = (rows[None, :] + colkey[:, None]).ravel()
+    pos = np.searchsorted(flat_xs, flat_q, side="right")
+    pos = pos.reshape(out_w, in_h) - np.arange(out_w)[:, None] * out_h
+    hi = np.clip(pos, 1, np.maximum(cnt, 2)[:, None] - 1)
+    lo = hi - 1
+    x0 = np.take_along_axis(xs, lo, axis=1)
+    x1 = np.take_along_axis(xs, hi, axis=1)
+    f0 = np.take_along_axis(fs, lo, axis=1)
+    f1 = np.take_along_axis(fs, hi, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = (rows[None, :] - x0) / (x1 - x0)
+    t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
+    fill_t = f0 + t * (f1 - f0)                             # [out_w, in_h]
+
+    if good.any() and not good.all():
         # Columns with no valid writers copy the nearest filled column —
         # a 0-fill next to real values would blow up the per-tile span.
-        good_arr = np.asarray(good)
-        for l in range(out_w):
-            if valid[:, l].sum() < 2:
-                nearest = good_arr[np.argmin(np.abs(good_arr - l))]
-                fill[:, l] = fill[:, nearest]
-    return np.clip(np.round(fill), 0, in_w - 1).astype(np.int64)
+        good_idx = np.nonzero(good)[0]
+        p = np.clip(np.searchsorted(good_idx, np.arange(out_w)),
+                    1, len(good_idx) - 1) if len(good_idx) > 1 else \
+            np.zeros(out_w, np.int64)
+        left = good_idx[np.maximum(p - 1, 0)]
+        right = good_idx[np.minimum(p, len(good_idx) - 1)]
+        nearest = np.where(np.abs(left - np.arange(out_w))
+                           <= np.abs(right - np.arange(out_w)), left, right)
+        bad = ~good
+        fill_t[bad] = fill_t[nearest[bad]]
+    elif not good.any():
+        fill_t[:] = 0.0
+
+    return np.clip(np.round(fill_t.T), 0, in_w - 1).astype(np.int64)
 
 
 def build_tables(R: np.ndarray, C: np.ndarray, in_h: int, in_w: int,

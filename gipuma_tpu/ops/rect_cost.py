@@ -122,6 +122,10 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     """
     ch, hr, wr = ref_chw.shape
     C = ch // 3
+    sch = src_chw.shape[0]
+    # 2C-channel int32 source = grad_fwd packing ([img-taps, gy-taps],
+    # gx derived in-kernel; see pallas_rowgather).
+    grad_fwd = sch == 2 * C
     vr, hrad = params.box_vrad, params.box_hrad
     ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
     src_pad = jnp.pad(src_chw, ((0, 0), (vr, vr), (0, 0)), mode="edge")
@@ -148,9 +152,9 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
             disp = jnp.clip(disp, disp_lo, disp_hi)
         xsrc = xg + dxf - disp
         src_rows = jax.lax.dynamic_slice(src_pad, (0, vr + dy, 0),
-                                         (ch, hr, wr))
+                                         (sch, hr, wr))
         smp = row_gather(src_rows, xsrc, interpret=interpret,
-                         max_span_blocks=span_blocks)
+                         max_span_blocks=span_blocks, grad_fwd=grad_fwd)
         w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
         col = jnp.minimum(_l1(ref_w[:C] - smp[:C]), params.tau_color)
         grad = jnp.minimum(
@@ -175,6 +179,8 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     ch, hr, wr = ref_chw.shape
     K = abc_k.shape[0]
     C = ch // 3
+    sch = src_chw.shape[0]
+    grad_fwd = sch == 2 * C
     vr, hrad = params.box_vrad, params.box_hrad
     ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
     src_pad = jnp.pad(src_chw, ((0, 0), (vr, vr), (0, 0)), mode="edge")
@@ -200,9 +206,10 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
             disp = jnp.clip(disp, disp_lo, disp_hi)
         xsrc = (xg + dxf) - disp
         src_rows = jax.lax.dynamic_slice(src_pad, (0, vr + dy, 0),
-                                         (ch, hr, wr))
+                                         (sch, hr, wr))
         smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
-                               max_span_blocks=span_blocks)  # [K,CH,Hr,Wr]
+                               max_span_blocks=span_blocks,
+                               grad_fwd=grad_fwd)            # [K,CH,Hr,Wr]
         w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
         col = jnp.minimum(_l1(ref_w[None, :C] - smp[:, :C]),
                           params.tau_color)

@@ -129,16 +129,24 @@ def compute_depthmap(images: Sequence[np.ndarray],
                          depth_max=depth_max, runtime_s=runtime,
                          ref_name=names[0])
 
-    scene = build_scene(images, rig, subset, params, depth_min, depth_max)
     if params.cost_path == "rect":
         from .models.rect_scene import RectifyUnsupported, build_rect_scene
+        # Lite base: the rect path reads only its geometry fields (the
+        # exact path's sampling tables dominate scene-build time).
+        base = build_scene(images, rig, subset, params, depth_min,
+                           depth_max, lite=True)
         try:
             scene, _ = build_rect_scene(images, rig, subset, params,
-                                        depth_min, depth_max, base=scene)
+                                        depth_min, depth_max, base=base)
         except RectifyUnsupported as e:
             print(f"[gipuma_tpu] rect path unavailable ({e}); "
                   "falling back to the exact cost path")
             params = params.replace(cost_path="exact")
+            scene = build_scene(images, rig, subset, params,
+                                depth_min, depth_max)
+    else:
+        scene = build_scene(images, rig, subset, params,
+                            depth_min, depth_max)
     key = jax.random.PRNGKey(params.seed)
 
     t0 = time.perf_counter()

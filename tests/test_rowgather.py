@@ -40,3 +40,29 @@ def test_row_gather_packed_taps(rng, span):
                                 interpret=True, max_span_blocks=span))
     # bf16 has 8 mantissa bits: |err| <= 0.5 per tap at intensity 255.
     assert np.abs(got - want).max() < 1.0
+
+
+@pytest.mark.parametrize("span", [None, 2])
+def test_row_gather_grad_fwd(rng, span):
+    """grad_fwd packing ([img-taps, gy-taps] words -> img, gx, gy channels
+    with gx = 2*(v1 - v0), the bilinear interpolant's derivative)."""
+    from gipuma_tpu.ops.pallas_rowgather import pack_taps
+
+    C = 2  # two image channels
+    img = (rng.random((C, 40, 256)) * 255.0).astype(np.float32)
+    gy = (rng.random((C, 40, 256)) * 20.0 - 10.0).astype(np.float32)
+    x = (rng.random((40, 300)) * 255.0).astype(np.float32)
+    src = np.concatenate([img, gy], axis=0)
+    got = np.asarray(row_gather(jnp.asarray(pack_taps(src)), jnp.asarray(x),
+                                interpret=True, max_span_blocks=span,
+                                grad_fwd=True))
+    assert got.shape == (3 * C, 40, 300)
+    want_img = oracle(img, x)
+    want_gy = oracle(gy, x)
+    x0 = np.clip(np.floor(np.clip(x, 0, 255)).astype(int), 0, 254)
+    rows = np.arange(40)[:, None]
+    want_gx = np.stack([2.0 * (img[c][rows, x0 + 1] - img[c][rows, x0])
+                        for c in range(C)])
+    assert np.abs(got[:C] - want_img).max() < 1.0
+    assert np.abs(got[C:2 * C] - want_gx).max() < 2.5   # diff of bf16 taps
+    assert np.abs(got[2 * C:] - want_gy).max() < 0.1
