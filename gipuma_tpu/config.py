@@ -117,10 +117,27 @@ class AlgorithmParams:
     # derive the x-gradient in-kernel from the image taps (gx = 2*(v1-v0),
     # the derivative of the bilinear interpolant; the reference-side gx
     # switches to the matching 2*(I[x+1]-I[x]) operator) — 2 gathers per
-    # sample instead of 3.  Deviation from the reference's central
-    # difference (gipuma.cu:270-276) is a half-pixel operator shift on the
-    # x-gradient only; quality validated on the synthetic-GT suite.
-    grad_fwd_pack: bool = True
+    # sample instead of 3.  Default OFF: the in-cell gradient is piecewise
+    # constant, i.e. up to half a source pixel out of phase with the
+    # reference-side operator; at native rect sampling density (shear-based
+    # routing, a_scale ~= 1) that phase error produces salt-noise depth
+    # failures (~30% of pixels off a slanted synthetic plane) that the
+    # earlier column supersampling (a_scale > 1) had masked.  Kept as an
+    # option for supersampled configurations.
+    grad_fwd_pack: bool = False
+    # With pack_taps: ship ONLY the image tap words (no gradient channels)
+    # and derive BOTH source gradients from neighboring window samples in
+    # the cost evaluation (ops/rect_cost.py): window columns of one pixel's
+    # cost window sample the source at uniform spacing (disparity is affine
+    # on the rect grid), so central differences of already-gathered samples
+    # — Jacobian-corrected by the plane's disparity slopes — give gradients
+    # that are PHASE-EXACT at the sample positions, unlike grad_fwd_pack.
+    # One dynamic_gather per sample (vs 3 for full channels, 2 for
+    # grad_fwd_pack); the window is sampled with one extra row/column ring
+    # for the differences.  The matching reference-side operator is the
+    # step-`window_increment` central difference.  Takes precedence over
+    # grad_fwd_pack.
+    window_grads: bool = True
     # Evaluate all refinement rounds as ONE K-candidate batch generated
     # around the sweep's starting state instead of the reference's
     # sequential perturb-around-the-accepted-state loop (gipuma.cu:959-991).

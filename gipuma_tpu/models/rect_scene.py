@@ -35,13 +35,17 @@ from .scene import build_scene
 
 
 def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
-                      lo: np.ndarray, grad_fwd: bool = False) -> np.ndarray:
+                      lo: np.ndarray, grad_fwd: bool = False,
+                      grads: bool = True, grad_step: int = 1) -> np.ndarray:
     """Inverse-warp img [H, W, C] into the rect window and stack gradient
-    channels -> [3C, hr, wr].  Pure numpy: this one-time host setup ran as
-    12 distinct-shape XLA programs before, costing ~100 s of remote TPU
-    compiles per reference view (geometry/rectify.warp_to_rectified is kept
-    for tests).  Bilinear clamp-to-edge semantics match ops/sampling.
-    bilinear_sample; gradients match ops/sampling.central_gradients."""
+    channels -> [3C, hr, wr] ([C, hr, wr] when grads=False).  Pure numpy:
+    this one-time host setup ran as 12 distinct-shape XLA programs before,
+    costing ~100 s of remote TPU compiles per reference view
+    (geometry/rectify.warp_to_rectified is kept for tests).  Bilinear
+    clamp-to-edge semantics match ops/sampling.bilinear_sample; gradients
+    match ops/sampling.central_gradients (grad_step=1) or the
+    step-`grad_step` central difference (the window_grads operator,
+    ops/rect_cost.py)."""
     h, w = img.shape[:2]
     C = img.shape[2]
     Tinv = np.linalg.inv(np.asarray(T, np.float64))
@@ -69,6 +73,8 @@ def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
     bot = v10 + fx * (v11 - v10)
     warped = top + fy * (bot - top)                  # [hr, wr, C]
     chw = np.moveaxis(warped, -1, 0)                 # [C, hr, wr]
+    if not grads:
+        return chw
     gx = np.empty_like(chw)
     if grad_fwd:
         # 2x forward difference — the operator matching the in-kernel
@@ -76,13 +82,14 @@ def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
         gx[..., :-1] = 2.0 * (chw[..., 1:] - chw[..., :-1])
         gx[..., -1:] = gx[..., -2:-1]
     else:
-        gx[..., 1:-1] = chw[..., 2:] - chw[..., :-2]
-        gx[..., :1] = chw[..., 1:2] - chw[..., :1]
-        gx[..., -1:] = chw[..., -1:] - chw[..., -2:-1]
-    gy = np.empty_like(chw)
-    gy[..., 1:-1, :] = chw[..., 2:, :] - chw[..., :-2, :]
-    gy[..., :1, :] = chw[..., 1:2, :] - chw[..., :1, :]
-    gy[..., -1:, :] = chw[..., -1:, :] - chw[..., -2:-1, :]
+        s = grad_step
+        pad = np.concatenate([np.repeat(chw[..., :1], s, axis=-1), chw,
+                              np.repeat(chw[..., -1:], s, axis=-1)], axis=-1)
+        gx = pad[..., 2 * s:] - pad[..., :-2 * s]
+    s = grad_step
+    pad = np.concatenate([np.repeat(chw[..., :1, :], s, axis=-2), chw,
+                          np.repeat(chw[..., -1:, :], s, axis=-2)], axis=-2)
+    gy = pad[..., 2 * s:, :] - pad[..., :-2 * s, :]
     return np.concatenate([chw, gx, gy], axis=0)         # [3C, hr, wr]
 
 
@@ -251,26 +258,36 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         du, dv, dyr = _map_slopes(rect.T_ref, k_rot, h, w)
         c_scale = float(np.clip(
             slope_req / max(np.quantile(dyr, 0.02), 1e-3), 1.0, scale_cap))
-        # Shear choice is AREA-aware: the stored window is the footprint's
-        # bounding box, and a shear of b widens the bbox by ~|b| * height —
-        # pick (b, a) minimizing column supersampling x bbox growth.
-        lo_n, hi_n = rectified_bounds(rect.T_ref, w, h)
-        w0 = max(hi_n[0] - lo_n[0], 1.0)
-        h0 = max(hi_n[1] - lo_n[1], 1.0)
+        # Shear choice is AREA-aware, with the TRUE sheared bounding box:
+        # the stored window is the bbox of the (ref ∪ src) rectified
+        # footprints, and for a residually-ROTATED footprint the right
+        # shear x' = a*(x + b*y) SHRINKS the bbox (it re-aligns the quad's
+        # long direction with the columns) — the dominant term of the
+        # rect grid's pixel inflation.  Measure the bbox width of the 8
+        # corner points under each candidate shear exactly instead of the
+        # old (w0 + |b|*h0) growth heuristic, which forbade exactly the
+        # shears that help.
+        cq_r = corners @ rect.T_ref.T
+        cq_r = cq_r[:, :2] / cq_r[:, 2:3]
+        cq_s = corners @ rect.T_src.T
+        cq_s = cq_s[:, :2] / cq_s[:, 2:3]
+        c8 = np.concatenate([cq_r, cq_s], axis=0)           # [8, 2]
         bs = np.linspace(-2.0, 2.0, 161)
         col_slope = np.quantile(np.abs(du[None] + bs[:, None] * dv[None]),
                                 0.02, axis=1)
         a_need = np.clip(slope_req / np.maximum(col_slope, 1e-3),
                          1.0, scale_cap)
-        area_factor = a_need * (w0 + np.abs(bs) * h0) / w0
-        # Among b's that reach the slope target (after a), prefer least area.
+        u = c8[None, :, 0] + bs[:, None] * c8[None, :, 1]   # [nb, 8]
+        width = a_need * (u.max(axis=1) - u.min(axis=1))
+        # Among b's that reach the slope target (after a), prefer least
+        # width (height is b-independent, so width ∝ area).
         reach = col_slope * a_need >= slope_req - 1e-6
         if reach.any():
-            cand = np.where(reach, area_factor, np.inf)
+            cand = np.where(reach, width, np.inf)
         else:
             cand = np.where(col_slope * a_need
                             >= (col_slope * a_need).max() - 1e-6,
-                            area_factor, np.inf)
+                            width, np.inf)
         bi = int(np.argmin(cand))
         b_shear = float(bs[bi])
         a_scale = float(a_need[bi])
@@ -278,7 +295,9 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         built = None
         last_err = "?"
         for attempt in range(3):
-            S = np.array([[a_scale, b_shear, 0.0],
+            # x' = a*(x + b*y): the shear is scaled WITH a so the slope
+            # model a*|du + b*dv| above matches the matrix exactly.
+            S = np.array([[a_scale, a_scale * b_shear, 0.0],
                           [0.0, c_scale, 0.0],
                           [0.0, 0.0, 1.0]])
             try:
@@ -391,17 +410,25 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         if src_img.ndim == 2:
             src_img = src_img[..., None]
 
-        gfwd = params.pack_taps and params.grad_fwd_pack
-        ref_rect = _np_warp_channels(ref_img, rect.T_ref, hr, wr, lo,
-                                     grad_fwd=gfwd)
-        src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo)
+        sdg = params.pack_taps and params.window_grads
+        gfwd = params.pack_taps and params.grad_fwd_pack and not sdg
+        ref_rect = _np_warp_channels(
+            ref_img, rect.T_ref, hr, wr, lo, grad_fwd=gfwd,
+            grad_step=params.window_increment if sdg else 1)
+        src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo,
+                                     grads=not sdg)
         if params.pack_taps:
             # Both bilinear taps as bf16 pairs in one int32 word — halves
             # the gather count of the sampling kernel (pallas_rowgather).
-            Cc = src_rect.shape[0] // 3
-            if gfwd:
+            if sdg:
+                # Ship only the image words; BOTH gradients come from
+                # neighboring window samples in the cost evaluation
+                # (1 gather/sample; ops/rect_cost window_grads path).
+                src_rect = pack_taps(src_rect)
+            elif gfwd:
                 # Ship only [img, gy] words; gx comes from the img taps
                 # in-kernel (2 gathers/sample instead of 3).
+                Cc = src_rect.shape[0] // 3
                 src_rect = pack_taps(np.concatenate(
                     [src_rect[:Cc], src_rect[2 * Cc:]], axis=0))
             else:
@@ -484,10 +511,15 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                                          np.float32))
 
     # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
-    # sampling span from the clamped disparity range + tile width; permute
-    # span measured exactly from the built tables.
+    # sampling span = tile width (128) + window reach (±hrad, plus the
+    # window_grads extension ring of one increment) + the clamped disparity
+    # range + bilinear tap slack; the trailing +1 block absorbs the
+    # 128-alignment of the scratch-window base.  Permute span is measured
+    # exactly from the built tables.
     max_range = max(p[8][1] - p[8][0] for p in per_pair)
-    span_sample = int(np.ceil((146.0 + max_range) / 128.0)) + 1
+    reach = params.box_hrad + (params.window_increment
+                               if params.window_grads else 0)
+    span_sample = int(np.ceil((132.0 + 2 * reach + max_range) / 128.0)) + 1
     span_perm = max(max(tile_span_blocks(p[3].c1),
                         tile_span_blocks(np.ascontiguousarray(p[3].r.T)),
                         tile_span_blocks(p[4].c1),

@@ -70,21 +70,32 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
     # keeps the reference's un-normalized central-difference scale,
     # gipuma.cu:270-276).  Cuts the gather count from 3 to 2 words/sample
     # with no sampling approximation for img/gy.
-    def group(bi, gi):
+    def load_x(bi, rows, g):
+        xx = x_ref[bi, rows, g * 128:(g + 1) * 128]
+        x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
+        return x0i, fx
+
+    def group(gi):
         rows = pl.ds(gi * 8, 8)
         for g in range(G):                 # static sample column groups
-            xx = x_ref[bi, rows, g * 128:(g + 1) * 128]
-            x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
-            fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
             windowed = SPAN < NB
             if windowed:
-                base = jnp.clip(jnp.min(x0i) // 128, 0, NB - SPAN) * 128
-                cl_all = x0i - base
+                # ONE scratch window per (row group, col group, channel),
+                # shared by ALL batch items: the caller's span bound is
+                # derived from the global clamped-disparity range, so it
+                # covers the union of every batch item's samples for this
+                # tile.  (A per-item window was measured copy-bound at
+                # large B; sharing amortizes one copy over B*SPAN gathers.)
+                # x0i/fx are recomputed per use from VMEM rather than kept
+                # live across the c/bi loops — B pairs of live vregs would
+                # spill.
+                mn = load_x(0, rows, g)[0]
+                for bi in range(1, B):
+                    mn = jnp.minimum(mn, load_x(bi, rows, g)[0])
+                base = jnp.clip(jnp.min(mn) // 128, 0, NB - SPAN) * 128
                 nblk = SPAN
             else:
-                bxmin = jnp.min(x0i) // 128
-                bxmax = (jnp.max(x0i) + 1) // 128
-                cl_all = x0i
                 nblk = NB
             for c in range(C):
                 if windowed:
@@ -92,54 +103,62 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
                                                 pl.ds(base, SPAN * 128)]
                     blk_at = (lambda b:
                               scratch_ref[:, b * 128:(b + 1) * 128])
-                    pred_at = lambda b: True
-                else:
-                    blk_at = (lambda b:
-                              src_ref[c, rows, b * 128:(b + 1) * 128])
-                    pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
-                if PACKED:
-                    vp = jnp.zeros((8, 128), jnp.int32)
-                    for b in range(nblk):
-                        blk = blk_at(b)
-                        cl = cl_all - b * 128
-                        g0 = jnp.take_along_axis(
-                            blk, jnp.clip(cl, 0, 127), axis=1)
-                        vp = jnp.where((cl >= 0) & (cl < 128) & pred_at(b),
-                                       g0, vp)
-                    v0, v1 = _unpack_taps(vp)
-                    if GFWD:
-                        half = C // 2
-                        if c < half:        # image word: img + gx
-                            o_ref[bi, c, rows, g * 128:(g + 1) * 128] = (
-                                v0 * (1 - fx) + v1 * fx)
-                            o_ref[bi, half + c, rows,
-                                  g * 128:(g + 1) * 128] = 2.0 * (v1 - v0)
-                        else:               # y-gradient word
-                            o_ref[bi, half + c, rows,
-                                  g * 128:(g + 1) * 128] = (
-                                v0 * (1 - fx) + v1 * fx)
-                        continue
-                    out = v0 * (1 - fx) + v1 * fx
-                else:
-                    v0 = jnp.zeros((8, 128), jnp.float32)
-                    v1 = jnp.zeros((8, 128), jnp.float32)
-                    for b in range(nblk):
-                        blk = blk_at(b)
-                        cl = cl_all - b * 128
-                        g0 = jnp.take_along_axis(
-                            blk, jnp.clip(cl, 0, 127), axis=1)
-                        g1 = jnp.take_along_axis(
-                            blk, jnp.clip(cl + 1, 0, 127), axis=1)
-                        v0 = jnp.where((cl >= 0) & (cl < 128) & pred_at(b),
-                                       g0, v0)
-                        v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
-                                       & pred_at(b), g1, v1)
-                    out = v0 * (1 - fx) + v1 * fx
-                o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
+                for bi in range(B):
+                    x0i, fx = load_x(bi, rows, g)
+                    if windowed:
+                        cl_all = x0i - base
+                        pred_at = lambda b: True
+                    else:
+                        bxmin = jnp.min(x0i) // 128
+                        bxmax = (jnp.max(x0i) + 1) // 128
+                        cl_all = x0i
+                        blk_at = (lambda b:
+                                  src_ref[c, rows, b * 128:(b + 1) * 128])
+                        pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
+                    if PACKED:
+                        vp = jnp.zeros((8, 128), jnp.int32)
+                        for b in range(nblk):
+                            blk = blk_at(b)
+                            cl = cl_all - b * 128
+                            g0 = jnp.take_along_axis(
+                                blk, jnp.clip(cl, 0, 127), axis=1)
+                            vp = jnp.where((cl >= 0) & (cl < 128)
+                                           & pred_at(b), g0, vp)
+                        v0, v1 = _unpack_taps(vp)
+                        if GFWD:
+                            half = C // 2
+                            if c < half:        # image word: img + gx
+                                o_ref[bi, c, rows,
+                                      g * 128:(g + 1) * 128] = (
+                                    v0 * (1 - fx) + v1 * fx)
+                                o_ref[bi, half + c, rows,
+                                      g * 128:(g + 1) * 128] = (
+                                    2.0 * (v1 - v0))
+                            else:               # y-gradient word
+                                o_ref[bi, half + c, rows,
+                                      g * 128:(g + 1) * 128] = (
+                                    v0 * (1 - fx) + v1 * fx)
+                            continue
+                        out = v0 * (1 - fx) + v1 * fx
+                    else:
+                        v0 = jnp.zeros((8, 128), jnp.float32)
+                        v1 = jnp.zeros((8, 128), jnp.float32)
+                        for b in range(nblk):
+                            blk = blk_at(b)
+                            cl = cl_all - b * 128
+                            g0 = jnp.take_along_axis(
+                                blk, jnp.clip(cl, 0, 127), axis=1)
+                            g1 = jnp.take_along_axis(
+                                blk, jnp.clip(cl + 1, 0, 127), axis=1)
+                            v0 = jnp.where((cl >= 0) & (cl < 128)
+                                           & pred_at(b), g0, v0)
+                            v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
+                                           & pred_at(b), g1, v1)
+                        out = v0 * (1 - fx) + v1 * fx
+                    o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
 
-    for bi in range(B):
-        for gi in range(x_ref.shape[1] // 8):
-            group(bi, gi)
+    for gi in range(x_ref.shape[1] // 8):
+        group(gi)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_span_blocks",
@@ -157,7 +176,14 @@ def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
     kernel = functools.partial(_row_gather_kernel, W=W, NB=nb,
                                C=C, G=WS // 128, SPAN=span, B=B,
                                PACKED=packed, GFWD=grad_fwd)
+    # Scale the row block down for large batches: x + out blocks are
+    # B*(1+co)*br*WS*4 bytes and are double-buffered by the pipeline — at
+    # the 16 MB scoped-VMEM edge Mosaic stops overlapping DMA with compute
+    # (measured 1.75x per-gather slowdown at B=32, br=32, WS=768 before
+    # this clamp; the window_grads path batches K*(ncol+2) sample grids).
     br = BLOCK_ROWS
+    while br > 8 and B * (1 + co) * br * WS * 4 > 3 << 20:
+        br //= 2
     return pl.pallas_call(
         kernel,
         grid=(M // br,),

@@ -123,6 +123,11 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     ch, hr, wr = ref_chw.shape
     C = ch // 3
     sch = src_chw.shape[0]
+    if sch == C:
+        # Packed image words only: the window_grads path (batch impl).
+        return _rect_pair_cost_batch_sdg(
+            ref_chw, src_chw, abc[None], params, interpret=interpret,
+            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks)[0]
     # 2C-channel int32 source = grad_fwd packing ([img-taps, gy-taps],
     # gx derived in-kernel; see pallas_rowgather).
     grad_fwd = sch == 2 * C
@@ -167,6 +172,118 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
 
 
+def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
+                              abc_k: jnp.ndarray, params: AlgorithmParams,
+                              interpret: bool = False,
+                              disp_lo=None, disp_hi=None,
+                              span_blocks: int | None = None) -> jnp.ndarray:
+    """window_grads cost path: src_chw holds ONLY the packed image tap
+    words [C, Hr, Wr]; both source gradients are derived from neighboring
+    WINDOW SAMPLES instead of gathered gradient channels.
+
+    Why this is exact: the window columns of one pixel's cost window sample
+    the source at uniform spacing — disparity is affine on the rect grid
+    (disp = a*x̂ + b*ŷ + c), so sample positions u(dx) = x̂+dx−disp obey
+    u(dx+inc) − u(dx−inc) = 2·inc·(1−a) exactly.  Central differences of
+    the gathered samples, Jacobian-corrected by the plane's slopes (÷(1−a)
+    for gx; +b·gx for the −b·gx chain-rule term in the row difference for
+    gy), therefore estimate the source gradients AT the sample positions —
+    no phase error, unlike the grad_fwd in-cell operator whose half-pixel
+    phase error causes salt-noise depth failures at native sampling
+    density.  The matching reference-side operator is the step-`inc`
+    central difference (built by models/rect_scene._np_warp_channels).
+
+    One dynamic_gather word per sample (the measured engine bottleneck;
+    3 for full channels, 2 for grad_fwd), at the price of sampling one
+    extra window ring: (ncol+2)·(nrow+2) vs ncol·nrow samples — a net
+    gather saving for every window size ≥ 5.  The scan goes over the
+    nrow+2 extended window rows (one batched gather per row serves all K
+    candidates × ncol+2 columns), carrying the previous two rows' samples
+    for the vertical differences.
+    """
+    ch, hr, wr = ref_chw.shape
+    C = ch // 3
+    K = abc_k.shape[0]
+    vr, hrad = params.box_vrad, params.box_hrad
+    inc = params.window_increment
+    ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
+    src_pad = jnp.pad(src_chw, ((0, 0), (vr + inc, vr + inc), (0, 0)),
+                      mode="edge")
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 0)
+    ref_center = ref_chw[:C]
+    inv_gamma = 1.0 / params.gamma
+    alpha = params.alpha
+    # Window grad operators span 2*inc px (vs the reference's 2): the /16
+    # of gipuma.cu:311 becomes /(16*inc) to keep tau_gradient comparable.
+    grad_scale = 0.0625 / inc
+
+    xs_off = np.arange(-hrad, hrad + 1, inc)
+    xs_ext = np.arange(-hrad - inc, hrad + inc + 1, inc)
+    ys_ext = np.arange(-vr - inc, vr + inc + 1, inc)
+    ncol, E = len(xs_off), len(xs_ext)
+
+    a = abc_k[:, 0]
+    b = abc_k[:, 1]
+    c = abc_k[:, 2]
+    s1 = 1.0 - a
+    # Sign-preserving clamp: |1-a| >= 0.25 (planes steeper than that along
+    # the epipolar direction have degenerate windows and garbage costs
+    # regardless of the gradient estimate).
+    inv_ax = 1.0 / jnp.where(jnp.abs(s1) < 0.25,
+                             jnp.where(s1 < 0.0, -0.25, 0.25), s1)
+    dx_e = jnp.asarray(xs_ext, jnp.float32)
+
+    def _l1(x):
+        return jnp.mean(jnp.abs(x), axis=-3)
+
+    def gather_row(dy):
+        dyf = dy.astype(jnp.float32)
+        xse = xg[None, None] + dx_e[None, :, None, None]    # [1, E, hr, wr]
+        disp = a[:, None] * xse + (b * (yg + dyf) + c)[:, None]
+        if disp_lo is not None:
+            disp = jnp.clip(disp, disp_lo, disp_hi)
+        xsrc = (xse - disp).reshape(K * E, hr, wr)
+        src_rows = jax.lax.dynamic_slice(
+            src_pad, (0, vr + inc + dy, 0), (C, hr, wr))
+        smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
+                               max_span_blocks=span_blocks)
+        return smp.reshape(K, E, C, hr, wr)
+
+    def step(carry, t_dy):
+        t, dy = t_dy
+        smp0, smp1, acc = carry
+        smp2 = gather_row(dy)
+        dyc = dy - inc                      # center row of this contribution
+        contrib = jnp.zeros((K, hr, wr), jnp.float32)
+        for j in range(ncol):
+            e = j + 1
+            dxj = int(xs_off[j])
+            ref_w = jax.lax.dynamic_slice(
+                ref_pad, (0, vr + dyc, hrad + dxj), (ch, hr, wr))
+            img_s = smp1[:, e]                              # [K, C, hr, wr]
+            gx_s = (smp1[:, e + 1] - smp1[:, e - 1]) * inv_ax[:, None]
+            gy_s = (smp2[:, e] - smp0[:, e]) + b[:, None] * gx_s
+            w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
+            col = jnp.minimum(_l1(ref_w[None, :C] - img_s),
+                              params.tau_color)
+            grad = jnp.minimum(
+                (_l1(ref_w[None, C:2 * C] - gx_s)
+                 + _l1(ref_w[None, 2 * C:] - gy_s)) * grad_scale,
+                params.tau_gradient)
+            contrib = contrib + w[None] * ((1.0 - alpha) * col
+                                           + alpha * grad)
+        acc = acc + jnp.where(t >= 2, contrib, 0.0)
+        return (smp1, smp2, acc), None
+
+    z = jnp.zeros((K, E, C, hr, wr), jnp.float32)
+    (_, _, acc), _ = jax.lax.scan(
+        step, (z, z, jnp.zeros((K, hr, wr), jnp.float32)),
+        (jnp.arange(len(ys_ext), dtype=jnp.int32),
+         jnp.asarray(ys_ext, jnp.int32)))
+    return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+
+
 def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                          abc_k: jnp.ndarray, params: AlgorithmParams,
                          interpret: bool = False,
@@ -180,6 +297,11 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     K = abc_k.shape[0]
     C = ch // 3
     sch = src_chw.shape[0]
+    if sch == C:
+        # Packed image words only: the window_grads path.
+        return _rect_pair_cost_batch_sdg(
+            ref_chw, src_chw, abc_k, params, interpret=interpret,
+            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks)
     grad_fwd = sch == 2 * C
     vr, hrad = params.box_vrad, params.box_hrad
     ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")

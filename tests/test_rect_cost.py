@@ -89,3 +89,52 @@ def test_true_plane_minimizes_rect_cost(slant):
     assert np.median(c_true[m]) < 0.6 * np.median(c_wrong2[m])
     # Near-zero absolute cost for the true plane (resampling noise only).
     assert np.median(c_true[m]) < 2.0
+
+
+def test_window_grads_equals_channel_path_on_linear_images():
+    """On LINEAR intensity images every operator in play is exact — the
+    bilinear interpolant reproduces the image, central differences of any
+    step give the true gradient, and the window-sample differences of the
+    window_grads path (after the plane-Jacobian corrections) reduce to the
+    same gradients.  So rect_pair_cost_batch on packed-image-words input
+    (the window_grads path) must match the full-channel path to float32
+    rounding.  Exercises the 1/(1-a) gx correction, the +b*gx chain-rule
+    term in gy, the step-inc ref operators, and the scan row alignment."""
+    from gipuma_tpu.ops.pallas_rowgather import pack_taps
+    from gipuma_tpu.ops.rect_cost import rect_pair_cost_batch
+
+    hr, wr = 48, 128
+    params = AlgorithmParams(box_hsize=7, box_vsize=7)
+    inc = params.window_increment
+    y, x = np.mgrid[0:hr, 0:wr].astype(np.float32)
+    # Integer-valued linear ramps <= 255: exactly representable in bf16,
+    # so tap packing adds zero quantization error.
+    ref_img = x * 1.0 + y * 2.0 + 3.0
+    src_img = x * 0.5 + y * 1.0 + 5.0
+
+    def channels(img, gxc, gyc, step):
+        gx = np.full_like(img, 2.0 * step * gxc)
+        gy = np.full_like(img, 2.0 * step * gyc)
+        return jnp.asarray(np.stack([img, gx, gy]))
+
+    # Plain path: step-1 ref grads + full f32 src channels.
+    ref_1 = channels(ref_img, 1.0, 2.0, 1)
+    src_3c = channels(src_img, 0.5, 1.0, 1)
+    # window_grads path: step-inc ref grads + packed image words only.
+    ref_i = channels(ref_img, 1.0, 2.0, inc)
+    src_pk = jnp.asarray(pack_taps(src_img[None]))
+
+    abc = np.broadcast_to(
+        np.array([0.12, -0.07, 2.3], np.float32).reshape(3, 1, 1),
+        (3, hr, wr))
+    abc_k = jnp.asarray(np.stack([abc, abc * 0.8]))
+
+    c_plain = np.asarray(rect_pair_cost_batch(ref_1, src_3c, abc_k, params,
+                                              interpret=True))
+    c_sdg = np.asarray(rect_pair_cost_batch(ref_i, src_pk, abc_k, params,
+                                            interpret=True))
+    m = np.s_[:, 12:-12, 16:-16]
+    diff = np.abs(c_plain[m] - c_sdg[m])
+    assert float(diff.max()) < 1e-3, float(diff.max())
+    # And the costs are non-trivial (linear images still mismatch).
+    assert float(np.abs(c_plain[m]).max()) > 0.1
