@@ -182,7 +182,7 @@ def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
     # (measured 1.75x per-gather slowdown at B=32, br=32, WS=768 before
     # this clamp; the window_grads path batches K*(ncol+2) sample grids).
     br = BLOCK_ROWS
-    while br > 8 and B * (1 + co) * br * WS * 4 > 3 << 20:
+    while br > 8 and B * (1 + co) * br * WS * 4 > 4 << 20:
         br //= 2
     return pl.pallas_call(
         kernel,

@@ -237,30 +237,33 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     def _l1(x):
         return jnp.mean(jnp.abs(x), axis=-3)
 
-    def gather_row(dy):
-        dyf = dy.astype(jnp.float32)
+    def gather_row(dy: int):
         xse = xg[None, None] + dx_e[None, :, None, None]    # [1, E, hr, wr]
-        disp = a[:, None] * xse + (b * (yg + dyf) + c)[:, None]
+        disp = a[:, None] * xse + (b * (yg + float(dy)) + c)[:, None]
         if disp_lo is not None:
             disp = jnp.clip(disp, disp_lo, disp_hi)
         xsrc = (xse - disp).reshape(K * E, hr, wr)
-        src_rows = jax.lax.dynamic_slice(
-            src_pad, (0, vr + inc + dy, 0), (C, hr, wr))
+        src_rows = src_pad[:, vr + inc + dy:vr + inc + dy + hr, :]
         smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
                                max_span_blocks=span_blocks)
         return smp.reshape(K, E, C, hr, wr)
 
-    def step(carry, t_dy):
-        t, dy = t_dy
-        smp0, smp1, acc = carry
-        smp2 = gather_row(dy)
-        dyc = dy - inc                      # center row of this contribution
-        contrib = jnp.zeros((K, hr, wr), jnp.float32)
+    # Static Python loop over the nrow+2 extended window rows (NOT a
+    # lax.scan: the sample carries are [K, E, C, hr, wr] and a rolled scan
+    # materializes two rotation COPIES of them per step — ~14% of the sweep
+    # device time in traces; static slices also lower better than
+    # dynamic_slice).  The row_gather call-site count stays bounded
+    # (nrow+2 <= ~15, well under the ~50-site executable limit).
+    smps = [gather_row(int(dy)) for dy in ys_ext]
+    acc = jnp.zeros((K, hr, wr), jnp.float32)
+    for t in range(2, len(ys_ext)):
+        smp0, smp1, smp2 = smps[t - 2], smps[t - 1], smps[t]
+        dyc = int(ys_ext[t]) - inc          # center row of this contribution
         for j in range(ncol):
             e = j + 1
             dxj = int(xs_off[j])
-            ref_w = jax.lax.dynamic_slice(
-                ref_pad, (0, vr + dyc, hrad + dxj), (ch, hr, wr))
+            ref_w = ref_pad[:, vr + dyc:vr + dyc + hr,
+                            hrad + dxj:hrad + dxj + wr]
             img_s = smp1[:, e]                              # [K, C, hr, wr]
             gx_s = (smp1[:, e + 1] - smp1[:, e - 1]) * inv_ax[:, None]
             gy_s = (smp2[:, e] - smp0[:, e]) + b[:, None] * gx_s
@@ -271,16 +274,7 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                 (_l1(ref_w[None, C:2 * C] - gx_s)
                  + _l1(ref_w[None, 2 * C:] - gy_s)) * grad_scale,
                 params.tau_gradient)
-            contrib = contrib + w[None] * ((1.0 - alpha) * col
-                                           + alpha * grad)
-        acc = acc + jnp.where(t >= 2, contrib, 0.0)
-        return (smp1, smp2, acc), None
-
-    z = jnp.zeros((K, E, C, hr, wr), jnp.float32)
-    (_, _, acc), _ = jax.lax.scan(
-        step, (z, z, jnp.zeros((K, hr, wr), jnp.float32)),
-        (jnp.arange(len(ys_ext), dtype=jnp.int32),
-         jnp.asarray(ys_ext, jnp.int32)))
+            acc = acc + w[None] * ((1.0 - alpha) * col + alpha * grad)
     return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
 
 
