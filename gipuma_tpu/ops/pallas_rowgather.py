@@ -258,3 +258,146 @@ def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
     if pad_c or pad_r:
         out = out[:, :, :M, :Ws]
     return out
+
+
+def _row_gather_affine_kernel(sc_ref, src_ref, abc_ref, o_ref, scratch_ref,
+                              *, W, NB, C, G, SPAN, K, E, BR, DXS):
+    # row_gather with the sample positions computed IN-KERNEL from the
+    # per-candidate affine disparity fields: for candidate k, column offset
+    # dx = DXS[e], absolute rect row y (+ the window row offset dy carried
+    # in SMEM) and rect column x:
+    #   xsrc = (x + dx) - clip(a*(x + dx) + b*(y + dy) + c, lo, hi)
+    # with (a, b, c) = abc[k, :, y, x].  Replaces the [K*E, Hr, Wr] xsrc
+    # materialization (disp/clip fusions, pads, broadcasts — measured ~25%
+    # of sweep device time as XLA glue) with a few VPU ops per tile, and
+    # shrinks the per-block input DMA E/3-fold (abc is [K, 3, ...] vs
+    # [K*E, ...] x).  dy/lo/hi ride in SMEM so all call sites share ONE
+    # kernel binary (a static dy would compile nrow+2 variants at 30-60 s
+    # each through the remote compile helper).
+    dy = sc_ref[0]
+    lo = sc_ref[1]
+    hi = sc_ref[2]
+    xg0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    yg0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    row0 = pl.program_id(0) * BR
+
+    def sample_x(k, e, gi, g, rows):
+        av = abc_ref[k, 0, rows, g * 128:(g + 1) * 128]
+        bv = abc_ref[k, 1, rows, g * 128:(g + 1) * 128]
+        cv = abc_ref[k, 2, rows, g * 128:(g + 1) * 128]
+        xse = (xg0 + g * 128 + DXS[e]).astype(jnp.float32)
+        yv = (yg0 + row0 + gi * 8).astype(jnp.float32) + dy
+        disp = jnp.clip(av * xse + bv * yv + cv, lo, hi)
+        xx = jnp.clip(xse - disp, 0.0, float(W - 1))
+        x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
+        return x0i, fx
+
+    for gi in range(BR // 8):
+        rows = pl.ds(gi * 8, 8)
+        for g in range(G):
+            windowed = SPAN < NB
+            if windowed:
+                mn = None
+                for k in range(K):
+                    for e in range(E):
+                        x0i, _ = sample_x(k, e, gi, g, rows)
+                        mn = x0i if mn is None else jnp.minimum(mn, x0i)
+                base = jnp.clip(jnp.min(mn) // 128, 0, NB - SPAN) * 128
+                nblk = SPAN
+            else:
+                nblk = NB
+            for c in range(C):
+                if windowed:
+                    scratch_ref[:, :] = src_ref[c, rows,
+                                                pl.ds(base, SPAN * 128)]
+                    blk_at = (lambda b:
+                              scratch_ref[:, b * 128:(b + 1) * 128])
+                for k in range(K):
+                    for e in range(E):
+                        x0i, fx = sample_x(k, e, gi, g, rows)
+                        if windowed:
+                            cl_all = x0i - base
+                            pred_at = lambda b: True
+                        else:
+                            bxmin = jnp.min(x0i) // 128
+                            bxmax = (jnp.max(x0i) + 1) // 128
+                            cl_all = x0i
+                            blk_at = (lambda b:
+                                      src_ref[c, rows,
+                                              b * 128:(b + 1) * 128])
+                            pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
+                        vp = jnp.zeros((8, 128), jnp.int32)
+                        for b in range(nblk):
+                            blk = blk_at(b)
+                            cl = cl_all - b * 128
+                            g0 = jnp.take_along_axis(
+                                blk, jnp.clip(cl, 0, 127), axis=1)
+                            vp = jnp.where((cl >= 0) & (cl < 128)
+                                           & pred_at(b), g0, vp)
+                        v0, v1 = _unpack_taps(vp)
+                        o_ref[k * E + e, c, rows, g * 128:(g + 1) * 128] = (
+                            v0 * (1 - fx) + v1 * fx)
+
+
+@functools.partial(jax.jit, static_argnames=("dxs", "interpret",
+                                              "max_span_blocks"))
+def _row_gather_affine_call(src_chw, abc, scalars, dxs, interpret=False,
+                            max_span_blocks=None):
+    C, H, W = src_chw.shape
+    K, three, M, WS = abc.shape
+    assert three == 3 and src_chw.dtype == jnp.int32
+    E = len(dxs)
+    nb = W // 128
+    span = nb if max_span_blocks is None else min(max_span_blocks, nb)
+    br = BLOCK_ROWS
+    while br > 8 and (K * E + K * 3) * br * WS * 4 > 4 << 20:
+        br //= 2
+    kernel = functools.partial(_row_gather_affine_kernel, W=W, NB=nb, C=C,
+                               G=WS // 128, SPAN=span, K=K, E=E, BR=br,
+                               DXS=dxs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // br,),
+        in_specs=[pl.BlockSpec((C, br, W), lambda i, sc: (0, i, 0)),
+                  pl.BlockSpec((K, 3, br, WS), lambda i, sc: (0, 0, i, 0))],
+        out_specs=pl.BlockSpec((K * E, C, br, WS),
+                               lambda i, sc: (0, 0, i, 0)),
+        scratch_shapes=[pltpu.VMEM((8, span * 128), src_chw.dtype)],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K * E, C, M, WS), jnp.float32),
+        interpret=interpret,
+    )(scalars, src_chw, abc)
+
+
+def row_gather_affine(src_chw: jnp.ndarray, abc: jnp.ndarray,
+                      dxs: tuple, dy, disp_lo, disp_hi,
+                      interpret: bool = False,
+                      max_span_blocks: int | None = None) -> jnp.ndarray:
+    """Packed row gather with in-kernel affine sample positions.
+
+    src_chw: [C, H, W] int32 packed tap words (pack_taps), W % 128 == 0;
+    abc: [K, 3, H, Ws] per-candidate affine disparity fields;
+    dxs: static tuple of E window column offsets;
+    dy / disp_lo / disp_hi: traced scalars (window row offset, disparity
+    clamp).  Returns [K*E, C, H, Ws] f32 samples at
+    x = (x̂+dx) − clip(a*(x̂+dx) + b*(ŷ+dy) + c, lo, hi), edge-clamped.
+    """
+    C, H, W = src_chw.shape
+    K, _, M, Ws = abc.shape
+    assert M == H
+    pad_c = (-Ws) % 128
+    pad_r = (-M) % BLOCK_ROWS
+    if pad_c or pad_r:
+        abc = jnp.pad(abc, ((0, 0), (0, 0), (0, pad_r), (0, pad_c)))
+        src_chw = jnp.pad(src_chw, ((0, 0), (0, pad_r), (0, 0)))
+    scalars = jnp.stack([jnp.float32(dy), jnp.float32(disp_lo),
+                         jnp.float32(disp_hi)])
+    out = _row_gather_affine_call(src_chw, abc, scalars, tuple(dxs),
+                                  interpret=interpret,
+                                  max_span_blocks=max_span_blocks)
+    if pad_c or pad_r:
+        out = out[:, :, :M, :Ws]
+    return out

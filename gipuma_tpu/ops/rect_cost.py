@@ -37,7 +37,7 @@ import numpy as np
 from ..config import MAXCOST, AlgorithmParams
 from . import checkerboard as cb
 from .cost import ScenePack, combine_view_costs
-from .pallas_rowgather import row_gather, row_gather_batch
+from .pallas_rowgather import row_gather, row_gather_affine, row_gather_batch
 from .permute2d import permute2d
 
 
@@ -237,13 +237,26 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     def _l1(x):
         return jnp.mean(jnp.abs(x), axis=-3)
 
+    affine_kernel = src_chw.dtype == jnp.int32
+    d_lo = disp_lo if disp_lo is not None else jnp.float32(-1e9)
+    d_hi = disp_hi if disp_hi is not None else jnp.float32(1e9)
+
     def gather_row(dy: int):
+        src_rows = src_pad[:, vr + inc + dy:vr + inc + dy + hr, :]
+        if affine_kernel:
+            # Sample positions computed in-kernel from abc (row_gather_
+            # affine): kills the [K*E, hr, wr] xsrc materialization and
+            # its disp/clip/pad XLA glue (~25% of sweep device time).
+            smp = row_gather_affine(src_rows, abc_k, tuple(xs_ext),
+                                    jnp.float32(dy), d_lo, d_hi,
+                                    interpret=interpret,
+                                    max_span_blocks=span_blocks)
+            return smp.reshape(K, E, C, hr, wr)
         xse = xg[None, None] + dx_e[None, :, None, None]    # [1, E, hr, wr]
         disp = a[:, None] * xse + (b * (yg + float(dy)) + c)[:, None]
         if disp_lo is not None:
             disp = jnp.clip(disp, disp_lo, disp_hi)
         xsrc = (xse - disp).reshape(K * E, hr, wr)
-        src_rows = src_pad[:, vr + inc + dy:vr + inc + dy + hr, :]
         smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
                                max_span_blocks=span_blocks)
         return smp.reshape(K, E, C, hr, wr)
