@@ -97,8 +97,58 @@ class RectifyUnsupported(ValueError):
     """This rig/pair cannot use the rectified fast path."""
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("inc",))
+def _expand_sdg_device(ref_img: jnp.ndarray, src_img: jnp.ndarray,
+                       inc: int):
+    """Expand shipped f16 rect images into device-side cost inputs.
+
+    The window_grads path needs [img, gx, gy] reference channels and
+    bf16-tap-packed source words; building them on HOST and shipping them
+    costs 73 MB per reference view through the ~15 MB/s TPU relay
+    (measured) — the batch bottleneck.  Shipping only the two f16 images
+    (edge-replicated into the pad region so the step-`inc` central
+    differences stay consistent at footprint borders) and expanding here
+    cuts the imagery transfer 2.5x; ONE jitted program per padded shape.
+
+    ref_img/src_img: [V, C, Hrp, Wrp] f16.  Returns
+    (ref_chw [V, 3C] f32, src_packed [V, C] int32)."""
+    r = ref_img.astype(jnp.float32)
+    pe = jnp.pad(r, ((0, 0), (0, 0), (inc, inc), (0, 0)), mode="edge")
+    gy = pe[:, :, 2 * inc:, :] - pe[:, :, :-2 * inc, :]
+    pe = jnp.pad(r, ((0, 0), (0, 0), (0, 0), (inc, inc)), mode="edge")
+    gx = pe[..., 2 * inc:] - pe[..., :-2 * inc]
+    ref_chw = jnp.concatenate([r, gx, gy], axis=1)
+
+    s = src_img.astype(jnp.float32)
+    v1 = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+
+    def bf16_hi(f):
+        b = jax.lax.bitcast_convert_type(f, jnp.uint32)
+        # Round-half-even to bf16, matching ops/pallas_rowgather.pack_taps.
+        return (b + jnp.uint32(0x7FFF) + ((b >> 16) & jnp.uint32(1))) >> 16
+
+    packed = (bf16_hi(s) << 16) | bf16_hi(v1)
+    return ref_chw, jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _pad_hw(a: np.ndarray, th: int, tw: int, edge: bool = False) -> np.ndarray:
+    """Pad the trailing [h, w] dims to [th, tw] (zeros, or edge-replicate)."""
+    out = np.zeros(a.shape[:-2] + (th, tw), a.dtype)
+    ah, aw = a.shape[-2], a.shape[-1]
+    out[..., :ah, :aw] = a
+    if edge:
+        out[..., ah:, :aw] = a[..., -1:, :]
+        out[..., :, aw:] = out[..., :, aw - 1:aw]
+    return out
 
 
 def _land(y, x, k: int, h: int, w: int):
@@ -412,20 +462,23 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
 
         sdg = params.pack_taps and params.window_grads
         gfwd = params.pack_taps and params.grad_fwd_pack and not sdg
-        ref_rect = _np_warp_channels(
-            ref_img, rect.T_ref, hr, wr, lo, grad_fwd=gfwd,
-            grad_step=params.window_increment if sdg else 1)
-        src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo,
-                                     grads=not sdg)
-        if params.pack_taps:
+        if sdg:
+            # Warp only the two images; gradient channels and tap packing
+            # are expanded ON DEVICE (_expand_sdg_device) — shipping the
+            # expanded channels dominated batch prep time via the TPU
+            # relay's transfer rate.
+            ref_rect = _np_warp_channels(ref_img, rect.T_ref, hr, wr, lo,
+                                         grads=False)
+            src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo,
+                                         grads=False)
+        else:
+            ref_rect = _np_warp_channels(
+                ref_img, rect.T_ref, hr, wr, lo, grad_fwd=gfwd)
+            src_rect = _np_warp_channels(src_img, rect.T_src, hr, wr, lo)
+        if params.pack_taps and not sdg:
             # Both bilinear taps as bf16 pairs in one int32 word — halves
             # the gather count of the sampling kernel (pallas_rowgather).
-            if sdg:
-                # Ship only the image words; BOTH gradients come from
-                # neighboring window samples in the cost evaluation
-                # (1 gather/sample; ops/rect_cost window_grads path).
-                src_rect = pack_taps(src_rect)
-            elif gfwd:
+            if gfwd:
                 # Ship only [img, gy] words; gx comes from the img taps
                 # in-kernel (2 gathers/sample instead of 3).
                 Cc = src_rect.shape[0] // 3
@@ -483,24 +536,45 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # channels tolerate f16's 2^-11 relative error (same class as the bf16
     # tap packing).  Falls back to f32 for tables beyond f16's exact-int
     # range (>2 K-pixel rect grids).
-    def assemble(arrs, th, tw, f16_ok) -> jnp.ndarray:
+    def assemble(arrs, th, tw, f16_ok, edge=False) -> jnp.ndarray:
         """Pad each [..., h, w] array to [th, tw], stack over a new view
         axis, and ship — ONE preallocated host buffer in the transfer dtype
-        instead of a pad -> stack -> astype copy chain per array."""
+        instead of a pad -> stack -> astype copy chain per array.
+        edge=True replicates the last row/column into the padding (so
+        device-side gradient operators stay consistent at the borders)."""
         a0 = np.asarray(arrs[0])
         f16 = f16_ok and a0.dtype == np.float32
         out = np.zeros((len(arrs),) + a0.shape[:-2] + (th, tw),
                        np.float16 if f16 else a0.dtype)
         for i, a in enumerate(arrs):
-            out[i, ..., :a.shape[-2], :a.shape[-1]] = a
+            ah, aw = a.shape[-2], a.shape[-1]
+            out[i, ..., :ah, :aw] = a
+            if edge:
+                out[i, ..., ah:, :aw] = a[..., -1:, :]
+                out[i, ..., :, aw:] = out[i, ..., :, aw - 1:aw]
         x = jnp.asarray(out)
         return x.astype(jnp.float32) if f16 else x
 
     tables_f16 = max(hrp, wrp, s_sq) <= 2048
 
-    ref_rect = assemble([p[0] for p in per_pair], hrp, wrp, True)
-    src_rect = assemble([p[1] for p in per_pair], hrp, wrp,
-                        not params.pack_taps)
+    sdg_mode = params.pack_taps and params.window_grads
+    if sdg_mode:
+        # Ship the two f16 images per pair; expand to [img, gx, gy] ref
+        # channels + packed src words on device (one jitted program per
+        # padded shape) — the expanded channels are 2.5x the transfer
+        # volume and the relay runs at ~15 MB/s.
+        ref_f16 = jnp.asarray(np.stack([_pad_hw(
+            np.asarray(p[0], np.float16), hrp, wrp, edge=True)
+            for p in per_pair]))
+        src_f16 = jnp.asarray(np.stack([_pad_hw(
+            np.asarray(p[1], np.float16), hrp, wrp, edge=True)
+            for p in per_pair]))
+        ref_rect, src_rect = _expand_sdg_device(
+            ref_f16, src_f16, inc=params.window_increment)
+    else:
+        ref_rect = assemble([p[0] for p in per_pair], hrp, wrp, True)
+        src_rect = assemble([p[1] for p in per_pair], hrp, wrp,
+                            not params.pack_taps)
     L = jnp.asarray(np.stack([p[2] for p in per_pair]), jnp.float32)
     fwd_c1 = assemble([p[3].c1 for p in per_pair], s_sq, wrp, tables_f16)
     fwd_r = assemble([p[3].r for p in per_pair], hrp, wrp, tables_f16)
