@@ -138,6 +138,20 @@ class AlgorithmParams:
     # step-`window_increment` central difference.  Takes precedence over
     # grad_fwd_pack.
     window_grads: bool = True
+    # With window_grads on the packed (TPU) path: evaluate the whole window
+    # cost — gathers AND the bilateral-weight/truncated-difference
+    # arithmetic — in ONE fused Pallas kernel (ops/pallas_sdg_fused.py)
+    # instead of per-window-row gather kernels with XLA arithmetic between
+    # them.  The XLA glue round-trips sample arrays through HBM and was
+    # measured at ~50 ms/sweep vs ~39 ms of gathers at dino scale.
+    fused_window_cost: bool = True
+    # Rect-path disparity clamp margin (px) beyond the depth-range-induced
+    # disparity interval; admits slanted-window extrapolation at window
+    # edges (reach ~(hrad+inc) px x |disparity slope| <~ 0.75 => ~8 px
+    # covers typical planes at box 11-15).  Feeds the static gather-span
+    # bound (models/rect_scene.py) — smaller margin = fewer span blocks =
+    # directly faster sampling kernels.
+    disp_clamp_margin: float = 8.0
     # Evaluate all refinement rounds as ONE K-candidate batch generated
     # around the sweep's starting state instead of the reference's
     # sequential perturb-around-the-accepted-state loop (gipuma.cu:959-991).

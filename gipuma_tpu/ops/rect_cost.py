@@ -241,6 +241,20 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     d_lo = disp_lo if disp_lo is not None else jnp.float32(-1e9)
     d_hi = disp_hi if disp_hi is not None else jnp.float32(1e9)
 
+    if affine_kernel and params.fused_window_cost and not interpret:
+        # Fully-fused kernel: gathers AND the cost arithmetic below in one
+        # Pallas program (ops/pallas_sdg_fused.py) — the XLA glue between
+        # gather launches (sample-array HBM round-trips + small fusions)
+        # measured ~50 ms of a 102 ms sweep; fused sweeps are 88.7 ms with
+        # the kernel at 69.6 (tpu_trace_sweep, dino full-res).  interpret
+        # (CPU) keeps the unfused path: equivalence is covered by
+        # tests/test_sdg_fused.py and interpret-mode fused is ~3x slower.
+        from .pallas_sdg_fused import fused_sdg_cost_batch
+        return fused_sdg_cost_batch(ref_chw, src_chw, abc_k, params,
+                                    interpret=interpret,
+                                    disp_lo=d_lo, disp_hi=d_hi,
+                                    span_blocks=span_blocks)
+
     def gather_row(dy: int):
         src_rows = src_pad[:, vr + inc + dy:vr + inc + dy + hr, :]
         if affine_kernel:

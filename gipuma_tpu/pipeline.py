@@ -82,12 +82,31 @@ class RunResult:
     ref_name: str = ""
 
 
-def compute_depthmap(images: Sequence[np.ndarray],
-                     P_matrices: Sequence[np.ndarray],
-                     params: AlgorithmParams,
-                     image_names: Sequence[str] | None = None,
-                     ref_index: int = 0) -> RunResult:
-    """Compute the depth map for one reference view.
+@dataclasses.dataclass
+class PreparedJob:
+    """Host-side plan + (possibly still-building) device scenes for one
+    reference view.  `prepare_job` returns immediately with the heavy scene
+    builds running on background threads (models/pyramid.py lazy futures);
+    `run_prepared_job` resolves them — so a batch can overlap view i+1's
+    host prep with view i's device compute (see run_batch)."""
+
+    prep: object                 # pyramid prep futures, or a resolved scene
+    params: AlgorithmParams
+    view_subset: list[int]
+    depth_min: float
+    depth_max: float
+    ref_name: str
+    orig_w: int
+    w: int
+    pyramid: bool
+
+
+def prepare_job(images: Sequence[np.ndarray],
+                P_matrices: Sequence[np.ndarray],
+                params: AlgorithmParams,
+                image_names: Sequence[str] | None = None,
+                ref_index: int = 0) -> PreparedJob:
+    """Plan one reference view's job and start its scene builds.
 
     images/P_matrices are for all cameras; `ref_index` selects the reference
     (the reference binary requires the caller to put it first — we swap
@@ -112,22 +131,13 @@ def compute_depthmap(images: Sequence[np.ndarray],
     params = params.with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
 
     if params.pyramid_levels > 1:
-        # Coarse-to-fine (models/pyramid.py): random-init iterations run on
-        # downsampled levels, the final level refines at full resolution.
-        from .models.pyramid import run_patchmatch_pyramid
-        t0 = time.perf_counter()
-        depth, normals, cost = run_patchmatch_pyramid(
-            images, Ps, names, subset, params, depth_min, depth_max,
-            jax.random.PRNGKey(params.seed))
-        runtime = time.perf_counter() - t0
-        if w != orig_w:
-            depth = depth[:, :orig_w]
-            normals = normals[:, :orig_w]
-            cost = cost[:, :orig_w]
-        return RunResult(depth=depth, normals=normals, cost=cost,
-                         view_subset=subset, depth_min=depth_min,
-                         depth_max=depth_max, runtime_s=runtime,
-                         ref_name=names[0])
+        from .models.pyramid import prepare_pyramid
+        prep = prepare_pyramid(images, Ps, names, subset, params,
+                               depth_min, depth_max, lazy=True)
+        return PreparedJob(prep=prep, params=params, view_subset=subset,
+                           depth_min=depth_min, depth_max=depth_max,
+                           ref_name=names[0], orig_w=orig_w, w=w,
+                           pyramid=True)
 
     if params.cost_path == "rect":
         from .models.rect_scene import RectifyUnsupported, build_rect_scene
@@ -147,24 +157,47 @@ def compute_depthmap(images: Sequence[np.ndarray],
     else:
         scene = build_scene(images, rig, subset, params,
                             depth_min, depth_max)
-    key = jax.random.PRNGKey(params.seed)
+    return PreparedJob(prep=scene, params=params, view_subset=subset,
+                       depth_min=depth_min, depth_max=depth_max,
+                       ref_name=names[0], orig_w=orig_w, w=w, pyramid=False)
 
-    t0 = time.perf_counter()
-    depth, normals, cost = _jitted_job(scene, params, key)
-    depth = np.asarray(jax.block_until_ready(depth))
-    runtime = time.perf_counter() - t0
 
-    normals = np.asarray(normals)
-    cost = np.asarray(cost)
-    if w != orig_w:  # crop the even-width padding
-        depth = depth[:, :orig_w]
-        normals = normals[:, :orig_w]
-        cost = cost[:, :orig_w]
+def run_prepared_job(job: PreparedJob) -> RunResult:
+    """Execute a prepared job on the device and return its RunResult."""
+    params = job.params
+    if job.pyramid:
+        from .models.pyramid import run_pyramid
+        t0 = time.perf_counter()
+        depth, normals, cost = run_pyramid(job.prep,
+                                           jax.random.PRNGKey(params.seed))
+        runtime = time.perf_counter() - t0
+    else:
+        key = jax.random.PRNGKey(params.seed)
+        t0 = time.perf_counter()
+        depth, normals, cost = _jitted_job(job.prep, params, key)
+        depth = np.asarray(jax.block_until_ready(depth))
+        runtime = time.perf_counter() - t0
+        normals = np.asarray(normals)
+        cost = np.asarray(cost)
 
+    if job.w != job.orig_w:  # crop the even-width padding
+        depth = depth[:, :job.orig_w]
+        normals = normals[:, :job.orig_w]
+        cost = cost[:, :job.orig_w]
     return RunResult(depth=depth, normals=normals, cost=cost,
-                     view_subset=subset, depth_min=depth_min,
-                     depth_max=depth_max, runtime_s=runtime,
-                     ref_name=names[0])
+                     view_subset=job.view_subset, depth_min=job.depth_min,
+                     depth_max=job.depth_max, runtime_s=runtime,
+                     ref_name=job.ref_name)
+
+
+def compute_depthmap(images: Sequence[np.ndarray],
+                     P_matrices: Sequence[np.ndarray],
+                     params: AlgorithmParams,
+                     image_names: Sequence[str] | None = None,
+                     ref_index: int = 0) -> RunResult:
+    """Compute the depth map for one reference view (prepare + run)."""
+    return run_prepared_job(prepare_job(images, P_matrices, params,
+                                        image_names, ref_index))
 
 
 def write_outputs(result: RunResult, out_dir: str | os.PathLike,
@@ -238,13 +271,30 @@ def run_batch(image_paths: Sequence[str], params: AlgorithmParams,
 
     results = []
     root = Path(results_root)
-    for ref in ref_indices:
-        out_dir = root / f"{Path(names[ref]).stem}"
-        if skip_existing and (out_dir / "disp.dmb").exists():
-            continue
-        res = compute_depthmap(images, Ps, params, names, ref_index=ref)
-        write_outputs(res, out_dir, params, ref_image=images[ref],
-                      P_ref=build_rig([Ps[ref]] + [Ps[i] for i in range(len(Ps)) if i != ref],
-                                      rebase=True).cameras[0].P)
-        results.append(res)
+    todo = [ref for ref in ref_indices
+            if not (skip_existing
+                    and (root / f"{Path(names[ref]).stem}"
+                         / "disp.dmb").exists())]
+    # Pipeline host prep with device compute: view i+1's scene build (host
+    # numpy + table construction, the dominant per-view cost) runs while
+    # view i's PatchMatch occupies the chip.  prepare_job itself returns
+    # immediately (pyramid scene builds are background futures), so one
+    # planner thread ahead of the runner suffices.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as planner:
+        nxt = (planner.submit(prepare_job, images, Ps, params, names,
+                              ref_index=todo[0]) if todo else None)
+        for i, ref in enumerate(todo):
+            job = nxt.result()
+            if i + 1 < len(todo):
+                nxt = planner.submit(prepare_job, images, Ps, params, names,
+                                     ref_index=todo[i + 1])
+            res = run_prepared_job(job)
+            out_dir = root / f"{Path(names[ref]).stem}"
+            write_outputs(res, out_dir, params, ref_image=images[ref],
+                          P_ref=build_rig(
+                              [Ps[ref]] + [Ps[i] for i in range(len(Ps))
+                                           if i != ref],
+                              rebase=True).cameras[0].P)
+            results.append(res)
     return results

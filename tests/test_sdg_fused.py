@@ -1,0 +1,61 @@
+"""Fused window-grads cost kernel (ops/pallas_sdg_fused) vs the unfused
+window_grads path (ops/rect_cost._rect_pair_cost_batch_sdg on the
+row_gather_affine path) — elementwise equivalence in interpret mode,
+including disparity clamping, the analytic scratch-window base, and
+window-edge behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gipuma_tpu.config import AlgorithmParams
+from gipuma_tpu.ops.pallas_rowgather import pack_taps
+from gipuma_tpu.ops.pallas_sdg_fused import fused_sdg_cost_batch
+from gipuma_tpu.ops.rect_cost import rect_pair_cost_batch
+
+
+def _mk_inputs(key, C, hr, wr, K):
+    k1, k2, k3 = jax.random.split(key, 3)
+    ref = jax.random.uniform(k1, (3 * C, hr, wr), jnp.float32, 0.0, 255.0)
+    src = np.asarray(
+        jax.random.uniform(k2, (C, hr, wr), jnp.float32, 0.0, 255.0))
+    src_packed = jnp.asarray(pack_taps(src))
+    coef = jax.random.uniform(k3, (K, 3, 1, 1), jnp.float32,
+                              minval=-0.05, maxval=0.05)
+    abc = jnp.broadcast_to(coef, (K, 3, hr, wr)).copy()
+    abc = abc.at[:, 2].add(10.0)   # center disparity
+    return ref, src_packed, abc
+
+
+@pytest.mark.parametrize("C,K,box", [(1, 2, 5), (3, 1, 7)])
+def test_fused_sdg_matches_unfused(C, K, box):
+    # wr = 4 blocks with span 3 exercises the dynamic analytic base.
+    # (Shapes are minimal: interpret-mode Pallas costs ~2 s/Mtile.)
+    hr, wr = 16, 512
+    params = AlgorithmParams(box_hsize=box, box_vsize=box)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(0), C, hr, wr, K)
+    lo, hi = jnp.float32(-20.0), jnp.float32(40.0)
+    want = rect_pair_cost_batch(ref, src, abc,
+                                params.replace(fused_window_cost=False),
+                                interpret=True, disp_lo=lo, disp_hi=hi,
+                                span_blocks=3)
+    got = fused_sdg_cost_batch(ref, src, abc, params, interpret=True,
+                               disp_lo=lo, disp_hi=hi, span_blocks=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_fused_sdg_unaligned_rows_full_span():
+    # hr not a multiple of the row block; span == num blocks (base pinned 0).
+    hr, wr = 12, 256
+    params = AlgorithmParams(box_hsize=5, box_vsize=5)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(1), 1, hr, wr, 2)
+    lo, hi = jnp.float32(-60.0), jnp.float32(90.0)
+    want = rect_pair_cost_batch(ref, src, abc,
+                                params.replace(fused_window_cost=False),
+                                interpret=True, disp_lo=lo, disp_hi=hi,
+                                span_blocks=2)
+    got = fused_sdg_cost_batch(ref, src, abc, params, interpret=True,
+                               disp_lo=lo, disp_hi=hi, span_blocks=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
