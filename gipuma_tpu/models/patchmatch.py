@@ -202,6 +202,64 @@ def propagation_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
     return PMState(planes=planes, cost=cost, key=state.key)
 
 
+def axial_propagation_sweep(state: PMState, scene: ScenePack,
+                            params: AlgorithmParams, parity: int, dist,
+                            cost_fn=multiview_cost,
+                            halo_planes=None) -> PMState:
+    """propagation_sweep for the four axial offsets at TRACED distance
+    `dist` — close (1) and far (5) sweeps share ONE compiled executable
+    (each distinct executable embedding the fused cost kernel costs minutes
+    of remote Mosaic compile per scene shape; offsets-as-data halves the
+    propagation compile count).  `dist` must be odd (the reference's 1/5 —
+    the even/odd column-plane selection is compile-time per candidate)."""
+    h, w = state.cost.shape
+    x, y = _active_coords(scene, parity)
+
+    pad = 5   # static bound covering both close (1) and far (5)
+    if halo_planes is not None:
+        planes_eo = cb.PaddedEO.build_row_padded(halo_planes, pad, pad + 2)
+    else:
+        planes_eo = cb.PaddedEO.build(state.planes, pad, pad + 2)
+
+    dist = jnp.asarray(dist, jnp.int32)
+    g_h = scene.global_h.astype(y.dtype)
+    cand_n, cand_d, cand_ok = [], [], []
+    for sy, sx, dxp in ((-1, 0, 0), (1, 0, 0), (0, -1, 1), (0, 1, 1)):
+        dy = sy * dist
+        dx = sx * dist
+        cand = planes_eo.shifted_dyn(dy, dx, parity, dx_parity=dxp)
+        cand_n.append(cand[..., :3])
+        cand_d.append(cand[..., 3])
+        dyf = dy.astype(y.dtype)
+        dxf = dx.astype(y.dtype)
+        ok = ((y + dyf >= 0) & (y + dyf <= g_h - 1) &
+              (x + dxf >= 0) & (x + dxf <= w - 1))
+        cand_ok.append(ok)
+    cand_n = jnp.stack(cand_n)
+    cand_d = jnp.stack(cand_d)
+    cand_ok = jnp.stack(cand_ok)
+
+    n_now = cb.extract(state.planes[..., :3], parity)
+    d_now = cb.extract(state.planes[..., 3], parity)
+    c_now = cb.extract(state.cost, parity)
+
+    n_old, d_old = n_now, d_now
+    n_now, d_now, c_now = _fold_better(
+        scene, params, parity, x, y, cand_n, cand_d, cand_ok,
+        n_now, d_now, c_now, cost_fn=cost_fn)
+
+    if params.no_texture_check:
+        tex = cb.extract(scene.texture_ok, parity)
+        n_now = jnp.where(tex[..., None], n_now, n_old)
+        d_now = jnp.where(tex, d_now, d_old)
+        c_now = jnp.where(tex, c_now, MAXCOST)
+
+    planes = cb.interleave(
+        state.planes, jnp.concatenate([n_now, d_now[..., None]], -1), parity)
+    cost = cb.interleave(state.cost, c_now, parity)
+    return PMState(planes=planes, cost=cost, key=state.key)
+
+
 def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
                      parity: int, cost_fn=multiview_cost) -> PMState:
     """Plane refinement: exponential perturbation schedule in disparity space
@@ -342,19 +400,28 @@ import functools as _ft
 @_ft.lru_cache(maxsize=None)
 def _host_loop_jits(cost_fn):
     """Module-level jit wrappers keyed by cost_fn: re-creating them per run
-    would retrace + recompile every depth-map job of a batch (30-60 s per
-    Pallas executable through the remote TPU compile helper)."""
+    would retrace + recompile every depth-map job of a batch (minutes per
+    Pallas-bearing executable through the remote TPU compile helper).
+
+    Close and far propagation share ONE executable (`jprop`): the axial
+    distance is a traced argument (axial_propagation_sweep), so each scene
+    shape compiles 3 big executables (init, prop, refine), not 4.
+    jclose/jfar below are thin distance bindings of jprop."""
     jinit = jax.jit(_ft.partial(init_state, cost_fn=cost_fn),
                     static_argnames=("params",))
-    jclose = jax.jit(_ft.partial(propagation_sweep, offsets=CLOSE_OFFSETS,
-                                 cost_fn=cost_fn),
-                     static_argnames=("params", "parity"))
-    jfar = jax.jit(_ft.partial(propagation_sweep, offsets=FAR_OFFSETS,
-                               cost_fn=cost_fn),
+    jprop = jax.jit(_ft.partial(axial_propagation_sweep, cost_fn=cost_fn),
+                    static_argnames=("params", "parity"))
+    jclose = lambda s, sc, params, parity: jprop(s, sc, params=params,
+                                                 parity=parity, dist=1)
+    jfar = lambda s, sc, params, parity: jprop(s, sc, params=params,
+                                               parity=parity, dist=5)
+    return jinit, jclose, jfar, jrefine_of(cost_fn)
+
+
+@_ft.lru_cache(maxsize=None)
+def jrefine_of(cost_fn):
+    return jax.jit(_ft.partial(refinement_sweep, cost_fn=cost_fn),
                    static_argnames=("params", "parity"))
-    jrefine = jax.jit(_ft.partial(refinement_sweep, cost_fn=cost_fn),
-                      static_argnames=("params", "parity"))
-    return jinit, jclose, jfar, jrefine
 
 
 def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,

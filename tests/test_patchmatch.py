@@ -95,3 +95,23 @@ def test_two_plane_scene_discontinuity():
     for mask in (near_mask & ok, (~near_mask) & ok):
         e = np.abs(depth[mask] - gt_depth[mask]) / gt_depth[mask]
         assert np.median(e) < 0.01, f"side failed: median {np.median(e)}"
+
+
+def test_axial_propagation_matches_static_offsets():
+    # axial_propagation_sweep (traced distance, one executable for both
+    # close and far) must reproduce propagation_sweep's static-offset
+    # results exactly.
+    from gipuma_tpu.models.patchmatch import (CLOSE_OFFSETS, FAR_OFFSETS,
+                                              axial_propagation_sweep,
+                                              propagation_sweep)
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40, iterations=1)
+    key = jax.random.PRNGKey(3)
+    state = init_state(scene, params, key)
+    for dist, offs in ((1, CLOSE_OFFSETS), (5, FAR_OFFSETS)):
+        for parity in (0, 1):
+            want = propagation_sweep(state, scene, params, parity, offs)
+            got = axial_propagation_sweep(state, scene, params, parity, dist)
+            np.testing.assert_array_equal(np.asarray(got.planes),
+                                          np.asarray(want.planes))
+            np.testing.assert_array_equal(np.asarray(got.cost),
+                                          np.asarray(want.cost))
