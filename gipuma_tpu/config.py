@@ -152,6 +152,13 @@ class AlgorithmParams:
     # bound (models/rect_scene.py) — smaller margin = fewer span blocks =
     # directly faster sampling kernels.
     disp_clamp_margin: float = 8.0
+    # Host-loop level dispatch granularity: "host" dispatches each sub-sweep
+    # as its own executable (the reference's six-launch schedule); "scan"
+    # runs all iterations of a level as ONE device program (lax.scan over
+    # iterations x parity x axial distance, parity traced) — saves the
+    # ~13-15 ms/dispatch TPU-relay overhead (~0.9 s of a dino run) and
+    # compiles the same two Mosaic kernel instances.
+    level_dispatch: str = "host"
     # Evaluate all refinement rounds as ONE K-candidate batch generated
     # around the sweep's starting state instead of the reference's
     # sequential perturb-around-the-accepted-state loop (gipuma.cu:959-991).

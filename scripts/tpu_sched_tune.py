@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -69,16 +70,30 @@ def main():
         s = jfar(s, scene, params=params_l, parity=0)
         return jrefine(s, scene, params=params_l, parity=0)
 
+    # Dispatch-overhead probes: trivial executables taking the same args.
+    f_state = jax.jit(lambda s: s._replace(cost=s.cost + 1.0))
+    time_it("trivial jit (state args)", lambda s: f_state(s), reps=20)
+    f_scene = jax.jit(
+        lambda s, sc: s._replace(cost=s.cost + sc.disp_bounds[0, 0]))
+    time_it("trivial jit (state+scene args)",
+            lambda s: f_scene(s, scene), reps=20)
+
     s3 = time_it("3 dispatches (close/far/ref)", three)
-    try:
-        s1 = time_it("1 fused parity dispatch",
-                     lambda s: jparity(s, scene, params=params_l, parity=0))
-        d = np.abs(np.asarray(s1.cost) - np.asarray(s3.cost))
-        print(f"   state agreement after 7 steps: max|dcost|={d.max():.2e}",
-              flush=True)
-    except Exception as e:
-        print(f"   fused parity dispatch FAILED: {type(e).__name__}: "
-              f"{str(e)[:200]}", flush=True)
+    if "parity" in sys.argv:
+        # Costs a fresh ~3-kernel-instance compile (~tens of minutes
+        # through the remote helper) — opt-in.
+        try:
+            s1 = time_it("1 fused parity dispatch",
+                         lambda s: jparity(s, scene, params=params_l,
+                                           parity=0))
+            d = np.abs(np.asarray(s1.cost) - np.asarray(s3.cost))
+            print(f"   state agreement after 7 steps: "
+                  f"max|dcost|={d.max():.2e}", flush=True)
+        except Exception as e:
+            print(f"   fused parity dispatch FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+    if "grid" not in sys.argv:
+        return
 
     # ---- 2. pyramid schedule grid ----
     for levels, fine_iters, coarse_iters in [(2, 2, 8), (2, 1, 8),

@@ -115,3 +115,40 @@ def test_axial_propagation_matches_static_offsets():
                                           np.asarray(want.planes))
             np.testing.assert_array_equal(np.asarray(got.cost),
                                           np.asarray(want.cost))
+
+
+def test_scan_runner_matches_host_loop():
+    # run_iterations_scan (one device program, traced parity/distance) must
+    # reproduce the host-dispatched sub-sweep loop exactly.
+    from gipuma_tpu.models.patchmatch import run_patchmatch_host_loop
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40,
+                                                      iterations=2)
+    key = jax.random.PRNGKey(5)
+    want = run_patchmatch_host_loop(scene, params, key)
+    got = run_patchmatch_host_loop(scene,
+                                   params.replace(level_dispatch="scan"),
+                                   key)
+    np.testing.assert_allclose(np.asarray(got.planes),
+                               np.asarray(want.planes), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(got.cost),
+                               np.asarray(want.cost), rtol=0, atol=0)
+
+
+def test_scan_runner_matches_host_loop_rect():
+    from gipuma_tpu.models.patchmatch import run_patchmatch_host_loop
+    from gipuma_tpu.models.rect_scene import build_rect_scene
+    from gipuma_tpu.ops.rect_cost import rect_multiview_cost
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40,
+                                                      iterations=1)
+    params = params.replace(cost_path="rect")
+    rscene, _ = build_rect_scene(images, rig, [1, 2, 3], params,
+                                 params.depth_min, params.depth_max,
+                                 base=scene)
+    key = jax.random.PRNGKey(6)
+    want = run_patchmatch_host_loop(rscene, params, key,
+                                    cost_fn=rect_multiview_cost)
+    got = run_patchmatch_host_loop(rscene,
+                                   params.replace(level_dispatch="scan"),
+                                   key, cost_fn=rect_multiview_cost)
+    np.testing.assert_allclose(np.asarray(got.planes),
+                               np.asarray(want.planes), rtol=0, atol=0)
