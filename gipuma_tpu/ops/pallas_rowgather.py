@@ -38,7 +38,7 @@ def _unpack_taps(vp):
 
 
 def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
-                       SPAN, B, PACKED, GFWD):
+                       SPAN, B, PACKED, GFWD, NEAREST):
     # Per [8, 128] tile of samples: the needed source rows are exactly the
     # tile's own rows; only the x-block range is dynamic.  When SPAN < NB,
     # the tile's x values are known (guaranteed by the caller) to span at
@@ -72,6 +72,11 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
     # with no sampling approximation for img/gy.
     def load_x(bi, rows, g):
         xx = x_ref[bi, rows, g * 128:(g + 1) * 128]
+        if NEAREST:
+            # Tables hold exact integer positions (ops/permute2d); round
+            # and take one tap — half the dynamic_gather count of lerp.
+            x0i = jnp.clip((xx + 0.5).astype(jnp.int32), 0, W - 1)
+            return x0i, None
         x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
         fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
         return x0i, fx
@@ -140,6 +145,16 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
                                     v0 * (1 - fx) + v1 * fx)
                             continue
                         out = v0 * (1 - fx) + v1 * fx
+                    elif NEAREST:
+                        v0 = jnp.zeros((8, 128), jnp.float32)
+                        for b in range(nblk):
+                            blk = blk_at(b)
+                            cl = cl_all - b * 128
+                            g0 = jnp.take_along_axis(
+                                blk, jnp.clip(cl, 0, 127), axis=1)
+                            v0 = jnp.where((cl >= 0) & (cl < 128)
+                                           & pred_at(b), g0, v0)
+                        out = v0
                     else:
                         v0 = jnp.zeros((8, 128), jnp.float32)
                         v1 = jnp.zeros((8, 128), jnp.float32)
@@ -162,9 +177,9 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_span_blocks",
-                                              "grad_fwd"))
+                                              "grad_fwd", "nearest"))
 def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
-                     grad_fwd=False):
+                     grad_fwd=False, nearest=False):
     C, H, W = src_chw.shape
     B, M, WS = x.shape
     packed = src_chw.dtype == jnp.int32
@@ -175,7 +190,8 @@ def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
     span = nb if max_span_blocks is None else min(max_span_blocks, nb)
     kernel = functools.partial(_row_gather_kernel, W=W, NB=nb,
                                C=C, G=WS // 128, SPAN=span, B=B,
-                               PACKED=packed, GFWD=grad_fwd)
+                               PACKED=packed, GFWD=grad_fwd,
+                               NEAREST=nearest)
     # Scale the row block down for large batches: x + out blocks are
     # B*(1+co)*br*WS*4 bytes and are double-buffered by the pipeline — at
     # the 16 MB scoped-VMEM edge Mosaic stops overlapping DMA with compute
@@ -215,7 +231,8 @@ def pack_taps(src: np.ndarray) -> np.ndarray:
 def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
                interpret: bool = False,
                max_span_blocks: int | None = None,
-               grad_fwd: bool = False) -> jnp.ndarray:
+               grad_fwd: bool = False,
+               nearest: bool = False) -> jnp.ndarray:
     """Linear interpolation along rows: out[c, i, j] = lerp(src[c, i, :], x[i, j]).
 
     src_chw: [C, H, W] with H == x.shape[0] (padded by callers) and
@@ -232,14 +249,15 @@ def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
     kernel docstring)."""
     out = row_gather_batch(src_chw, x[None], interpret=interpret,
                            max_span_blocks=max_span_blocks,
-                           grad_fwd=grad_fwd)
+                           grad_fwd=grad_fwd, nearest=nearest)
     return out[0]
 
 
 def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
                      interpret: bool = False,
                      max_span_blocks: int | None = None,
-                     grad_fwd: bool = False) -> jnp.ndarray:
+                     grad_fwd: bool = False,
+                     nearest: bool = False) -> jnp.ndarray:
     """row_gather for B sample grids sharing one source: x [B, H, Ws] ->
     [B, C, H, Ws] in ONE kernel launch (candidate batching)."""
     C, H, W = src_chw.shape
@@ -254,7 +272,7 @@ def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
         src_chw = jnp.pad(src_chw, ((0, 0), (0, pad_r), (0, 0)))
     out = _row_gather_call(src_chw, x, interpret=interpret,
                            max_span_blocks=max_span_blocks,
-                           grad_fwd=grad_fwd)
+                           grad_fwd=grad_fwd, nearest=nearest)
     if pad_c or pad_r:
         out = out[:, :, :M, :Ws]
     return out

@@ -181,11 +181,13 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     out_h, out_w = r.shape
 
     a = row_gather(_pad128(x), c1, interpret=interpret,
-                   max_span_blocks=max_span_blocks)           # [C, in_h, out_w]
+                   max_span_blocks=max_span_blocks,
+                   nearest=True)                              # [C, in_h, out_w]
     a_t = jnp.swapaxes(a, 1, 2)                               # [C, out_w, in_h]
     r_t = jnp.swapaxes(r, 0, 1)                               # [out_w, out_h]
     o_t = row_gather(_pad128(a_t), r_t, interpret=interpret,
-                     max_span_blocks=max_span_blocks)         # [C, out_w, out_h]
+                     max_span_blocks=max_span_blocks,
+                     nearest=True)                            # [C, out_w, out_h]
     out = jnp.swapaxes(o_t, 1, 2)
     return out[0] if squeeze else out
 
