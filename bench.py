@@ -40,10 +40,13 @@ def main() -> int:
     depth_min, depth_max = 3.0, 8.0
     # Production configuration: rectified row-aligned cost path (falls back
     # to the exact path inside prepare when the rig can't be rectified),
-    # bf16 tap packing, 2-level coarse-to-fine.
+    # bf16 tap packing, fused window-cost kernel, 3-level coarse-to-fine
+    # with 1 warm-started iteration per finer level (best point of the
+    # scripts/tpu_sched_tune.py grid: quality equal to 2-level/2-iter —
+    # median rel err 1.5e-3, 99.97% within 1% — at 1.7x the throughput).
     params = PRESETS["middlebury"].replace(
-        seed=0, cost_path="rect", pyramid_levels=2,
-        pyramid_fine_iterations=2)
+        seed=0, cost_path="rect", pyramid_levels=3,
+        pyramid_fine_iterations=1)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

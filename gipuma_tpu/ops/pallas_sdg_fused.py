@@ -284,12 +284,20 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     K = abc_k.shape[0]
 
     # Block rows: bound VMEM (block pipeline buffers dominate) and the
-    # per-step unroll (Mosaic compile time grows with the gather-body
-    # count (BR/8) * G * T * K * E).
-    br = 32
-    while br > 8 and (2 * (K * 3 + K) * br * wr * 4 > 6 << 20
-                      or (br // 8) * nb * len(ys_ext) * K * E > 8192):
-        br //= 2
+    # per-step unroll — Mosaic compile time grows SUPERLINEARLY with the
+    # gather-body count (BR/8) * G * T * K * E (measured ~10 min per
+    # executable at 6144 bodies through the remote compile helper vs ~2 min
+    # at ~1500; scripts/tpu_fused_br_ab.py).  GIPUMA_FUSED_BR overrides for
+    # experiments.
+    import os
+    br_env = os.environ.get("GIPUMA_FUSED_BR")
+    if br_env:
+        br = int(br_env)
+    else:
+        br = 32
+        while br > 8 and (2 * (K * 3 + K) * br * wr * 4 > 6 << 20
+                          or (br // 8) * nb * len(ys_ext) * K * E > 8192):
+            br //= 2
 
     pad_r = (-hr) % br
     ref_pad = jnp.pad(ref_chw, ((0, 0), (vr8, vr8 + pad_r),
