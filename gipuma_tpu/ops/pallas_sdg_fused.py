@@ -285,9 +285,11 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
 
     # Block rows: bound VMEM (block pipeline buffers dominate) and the
     # per-step unroll — Mosaic compile time grows SUPERLINEARLY with the
-    # gather-body count (BR/8) * G * T * K * E (measured ~10 min per
-    # executable at 6144 bodies through the remote compile helper vs ~2 min
-    # at ~1500; scripts/tpu_fused_br_ab.py).  GIPUMA_FUSED_BR overrides for
+    # gather-body count (BR/8) * G * T * K * E, and big unrolls don't even
+    # run faster.  Measured at dino-L1 shapes (scripts/tpu_fused_br_ab.py,
+    # bitwise-identical outputs): BR=32 (6144 bodies) 586 s compile /
+    # 37.3 ms steady; BR=16 133 s / 36.5 ms; BR=8 70 s / 39.0 ms.
+    # Cap 3500 picks BR=16 at dino scale.  GIPUMA_FUSED_BR overrides for
     # experiments.
     import os
     br_env = os.environ.get("GIPUMA_FUSED_BR")
@@ -296,7 +298,7 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     else:
         br = 32
         while br > 8 and (2 * (K * 3 + K) * br * wr * 4 > 6 << 20
-                          or (br // 8) * nb * len(ys_ext) * K * E > 8192):
+                          or (br // 8) * nb * len(ys_ext) * K * E > 3500):
             br //= 2
 
     pad_r = (-hr) % br
