@@ -138,6 +138,19 @@ class AlgorithmParams:
     # step-`window_increment` central difference.  Takes precedence over
     # grad_fwd_pack.
     window_grads: bool = True
+    # With window_grads: estimate gradients at the window's OUTERMOST
+    # sample rows/columns by one-sided differences of the window samples
+    # instead of gathering an extension ring — ncol*nrow gathers instead of
+    # (ncol+2)*(nrow+2), a 44% gather cut at box 11 / increment 2 (the
+    # fused cost kernel is gather-rate bound).  Edge estimators use an
+    # inc-px baseline where the reference-side channel uses 2*inc — an
+    # O(inc^2 * |I''|) operator mismatch at the 2 edge rows/columns only,
+    # bounded by the tau_gradient truncation; interior columns are
+    # unchanged.  Measured (scripts/tpu_onesided_ab.py, dino-scale v5e):
+    # +7.7% end-to-end throughput at unchanged quality (median rel err
+    # 0.00153 vs 0.0015, 99.95% of pixels within 1%); the engine-level
+    # gate is tests/test_rect_engine.py::test_recovers_plane_onesided_edges.
+    sdg_onesided_edges: bool = True
     # With window_grads on the packed (TPU) path: evaluate the whole window
     # cost — gathers AND the bilateral-weight/truncated-difference
     # arithmetic — in ONE fused Pallas kernel (ops/pallas_sdg_fused.py)

@@ -597,6 +597,11 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     rot_k = jnp.asarray([p[7] for p in per_pair], jnp.int32)
     disp_bounds = jnp.asarray(np.asarray([p[8] for p in per_pair],
                                          np.float32))
+    # Per-view valid extent inside the common pad: the fused cost kernel
+    # skips row blocks / 128-lane column groups past it (pad-to-max rows
+    # measured ~16% of sweep work at dino scale).
+    hw_valid = jnp.asarray(np.asarray([(p[5], p[6]) for p in per_pair],
+                                      np.int32))
 
     # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
     # sampling span = tile width (128) + window reach (±hrad, plus the
@@ -606,7 +611,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # exactly from the built tables.
     max_range = max(p[8][1] - p[8][0] for p in per_pair)
     reach = params.box_hrad + (params.window_increment
-                               if params.window_grads else 0)
+                               if params.window_grads
+                               and not params.sdg_onesided_edges else 0)
     span_sample = int(np.ceil((132.0 + 2 * reach + max_range) / 128.0)) + 1
     span_perm = max(max(tile_span_blocks(p[3].c1),
                         tile_span_blocks(np.ascontiguousarray(p[3].r.T)),
@@ -621,7 +627,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
 
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,
                       fwd_c1=fwd_c1, fwd_r=fwd_r, ret_c1=ret_c1, ret_r=ret_r,
-                      rot_k=rot_k, disp_bounds=disp_bounds, spans=spans)
+                      rot_k=rot_k, disp_bounds=disp_bounds, spans=spans,
+                      hw_valid=hw_valid)
     info["rect_shape_padded"] = (hrp, wrp)
     info["spans"] = (span_sample, span_perm)
     return scene, info

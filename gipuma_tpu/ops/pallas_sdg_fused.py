@@ -70,24 +70,64 @@ def _unpack_taps(vp):
     return v0, v1
 
 
-def _sdg_fused_kernel(db, ref_hbm, src_hbm, abc_ref, o_ref,
+def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                       ref_win, src_win, spl, gsc, sem_r, sem_s, *,
                       C, K, BR, VR8, SE8, W, NB, SPAN, G,
-                      XS_EXT, YS_EXT, XS_OFF, INC,
+                      XS_EXT, YS_EXT, XS_OFF, ROWS_C, ONESIDED, INC,
                       ALPHA, INV_GAMMA, TAU_COL, TAU_GRAD, GRAD_SCALE):
     i = pl.program_id(0)
     E = len(XS_EXT)
     T = len(YS_EXT)
     NCOL = len(XS_OFF)
+    NROW = len(ROWS_C)
 
-    cp_r = pltpu.make_async_copy(
-        ref_hbm.at[:, pl.ds(i * BR, BR + 2 * VR8), :], ref_win, sem_r)
-    cp_s = pltpu.make_async_copy(
-        src_hbm.at[:, pl.ds(i * BR, BR + 2 * SE8), :], src_win, sem_s)
-    cp_r.start()
-    cp_s.start()
-    cp_r.wait()
-    cp_s.wait()
+    def _emits(t):
+        """Static emission schedule: contributions computable once window
+        row t is gathered, as (jrow, p_lo, p_c, p_hi, one_sided_y) plane
+        indices into the rolling 3-deep sample buffer.  With the extension
+        ring (ONESIDED=False) every contribution is a central difference;
+        without it the first/last window row use a doubled one-sided
+        difference (config.sdg_onesided_edges)."""
+        out = []
+        if ONESIDED:
+            if T == 1 and t == 0:
+                out.append((0, 0, 0, 0, False))
+            if t == 1:
+                out.append((0, 0, 0, 1, True))
+            if t >= 2:
+                out.append((t - 1, t - 2, t - 1, t, False))
+            if t == T - 1 and T >= 2:
+                out.append((T - 1, T - 2, T - 1, T - 1, True))
+        elif t >= 2:
+            out.append((t - 2, t - 2, t - 1, t, False))
+        return out
+
+    def _cols(j):
+        """Static per-column sample indices (e, e_lo, e_hi, one_sided_x)
+        for the horizontal gradient of contribution column j."""
+        if ONESIDED:
+            return j, max(j - 1, 0), min(j + 1, NCOL - 1), \
+                (j == 0 or j == NCOL - 1) and NCOL >= 2
+        return j + 1, j, j + 2, False
+
+    # Per-view valid extent (hwv = [valid rows, valid cols]): views are
+    # stacked/padded to a COMMON rect shape for the lax.scan over views
+    # (models/rect_scene.py); pad rows/columns hold no read-back targets
+    # (the return permutation tables only address each view's own valid
+    # window), so whole row blocks and 128-lane column groups beyond the
+    # extent are skipped — DMA and compute (measured ~16% of sweep work
+    # at dino scale, where 2 of 6 views pad 47% of their rows).  Skipped
+    # output blocks keep whatever was in VMEM; callers never read them.
+    @pl.when(i * BR < hwv[0])
+    def _valid_row_block():
+        cp_r = pltpu.make_async_copy(
+            ref_hbm.at[:, pl.ds(i * BR, BR + 2 * VR8), :], ref_win, sem_r)
+        cp_s = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(i * BR, BR + 2 * SE8), :], src_win, sem_s)
+        cp_r.start()
+        cp_s.start()
+        cp_r.wait()
+        cp_s.wait()
 
     d_lo = db[0]
     d_hi = db[1]
@@ -107,110 +147,124 @@ def _sdg_fused_kernel(db, ref_hbm, src_hbm, abc_ref, o_ref,
         # than keeping K tile-pairs live across the g loop).
         for g in range(G):
             cols = pl.ds(g * 128, 128)
-            av = [abc_ref[k, 0, rows, cols] for k in range(K)]
-            bv = [abc_ref[k, 1, rows, cols] for k in range(K)]
-            cv = [abc_ref[k, 2, rows, cols] for k in range(K)]
-            s1 = [1.0 - av[k] for k in range(K)]
-            inv_ax = [1.0 / jnp.where(jnp.abs(s1[k]) < 0.25,
-                                      jnp.where(s1[k] < 0.0, -0.25, 0.25),
-                                      s1[k]) for k in range(K)]
+            @pl.when((row0 + gi * 8 < hwv[0]) & (g * 128 < hwv[1]))
+            def _valid_tile():
+                av = [abc_ref[k, 0, rows, cols] for k in range(K)]
+                bv = [abc_ref[k, 1, rows, cols] for k in range(K)]
+                cv = [abc_ref[k, 2, rows, cols] for k in range(K)]
+                s1 = [1.0 - av[k] for k in range(K)]
+                inv_ax = [1.0 / jnp.where(jnp.abs(s1[k]) < 0.25,
+                                          jnp.where(s1[k] < 0.0, -0.25,
+                                                    0.25),
+                                          s1[k]) for k in range(K)]
 
-            # Analytic scratch-window base (see module docstring): every
-            # clamped sample satisfies x >= xse_min - d_hi - 1 > base.
-            bidx = jnp.floor(
-                (g * 128 + XS_EXT[0] - d_hi - 1.0) * (1.0 / 128.0)
-            ).astype(jnp.int32)
-            base = jnp.clip(bidx, 0, NB - SPAN) * 128
+                # Analytic scratch-window base (see module docstring):
+                # every clamped sample satisfies
+                # x >= xse_min - d_hi - 1 > base.
+                bidx = jnp.floor(
+                    (g * 128 + XS_EXT[0] - d_hi - 1.0) * (1.0 / 128.0)
+                ).astype(jnp.int32)
+                base = jnp.clip(bidx, 0, NB - SPAN) * 128
 
-            xse = [(xg0 + (g * 128 + int(dx))).astype(jnp.float32)
-                   for dx in XS_EXT]
+                xse = [(xg0 + (g * 128 + int(dx))).astype(jnp.float32)
+                       for dx in XS_EXT]
 
-            ref_c = [ref_win[c, pl.ds(VR8 + gi * 8, 8),
-                             LANE_PAD + g * 128:LANE_PAD + (g + 1) * 128]
-                     for c in range(C)]
-            acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(K)]
+                ref_c = [ref_win[c, pl.ds(VR8 + gi * 8, 8),
+                                 LANE_PAD + g * 128:LANE_PAD + (g + 1) * 128]
+                         for c in range(C)]
+                acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(K)]
 
-            for t in range(T):
-                dy = int(YS_EXT[t])
-                tb = t % 3
-                # One scratch-window copy per (row set, channel), shared by
-                # all K*E gathers; row offset is static, lane offset is the
-                # provably-128-aligned base.
-                for c in range(C):
-                    gsc[:, :] = src_win[c, pl.ds(SE8 + gi * 8 + dy, 8),
-                                        pl.ds(base, SPAN * 128)]
-                    for k in range(K):
-                        byc = bv[k] * (yv0 + float(dy)) + cv[k]
-                        for e in range(E):
-                            disp = jnp.clip(av[k] * xse[e] + byc, d_lo, d_hi)
-                            xx = jnp.clip(xse[e] - disp, 0.0, float(W - 1))
-                            x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32),
-                                           0, W - 2)
-                            fx = jnp.clip(xx - x0i.astype(jnp.float32),
-                                          0.0, 1.0)
-                            cl_all = x0i - base
-                            vp = jnp.zeros((8, 128), jnp.int32)
-                            for b in range(SPAN):
-                                blk = gsc[:, b * 128:(b + 1) * 128]
-                                cl = cl_all - b * 128
-                                g0 = jnp.take_along_axis(
-                                    blk, jnp.clip(cl, 0, 127), axis=1)
-                                vp = jnp.where((cl >= 0) & (cl < 128),
-                                               g0, vp)
-                            v0, v1 = _unpack_taps(vp)
-                            spl[sidx(tb, k, e, c)] = (
-                                v0 * (1 - fx) + v1 * fx)
+                for t in range(T):
+                    dy = int(YS_EXT[t])
+                    tb = t % 3
+                    # One scratch-window copy per (row set, channel),
+                    # shared by all K*E gathers; row offset is static, lane
+                    # offset is the provably-128-aligned base.
+                    for c in range(C):
+                        gsc[:, :] = src_win[c, pl.ds(SE8 + gi * 8 + dy, 8),
+                                            pl.ds(base, SPAN * 128)]
+                        for k in range(K):
+                            byc = bv[k] * (yv0 + float(dy)) + cv[k]
+                            for e in range(E):
+                                disp = jnp.clip(av[k] * xse[e] + byc,
+                                                d_lo, d_hi)
+                                xx = jnp.clip(xse[e] - disp, 0.0,
+                                              float(W - 1))
+                                x0i = jnp.clip(
+                                    jnp.floor(xx).astype(jnp.int32),
+                                    0, W - 2)
+                                fx = jnp.clip(xx - x0i.astype(jnp.float32),
+                                              0.0, 1.0)
+                                cl_all = x0i - base
+                                vp = jnp.zeros((8, 128), jnp.int32)
+                                for b in range(SPAN):
+                                    blk = gsc[:, b * 128:(b + 1) * 128]
+                                    cl = cl_all - b * 128
+                                    g0 = jnp.take_along_axis(
+                                        blk, jnp.clip(cl, 0, 127), axis=1)
+                                    vp = jnp.where((cl >= 0) & (cl < 128),
+                                                   g0, vp)
+                                v0, v1 = _unpack_taps(vp)
+                                spl[sidx(tb, k, e, c)] = (
+                                    v0 * (1 - fx) + v1 * fx)
 
-                if t < 2:
-                    continue
-                # Cost contribution of window row dyc = YS_EXT[t] - INC
-                # using the three newest sample planes.
-                t0, t1, t2 = (t - 2) % 3, (t - 1) % 3, t % 3
-                dyc = int(YS_EXT[t]) - INC
-                rr = pl.ds(VR8 + gi * 8 + dyc, 8)
-                for j in range(NCOL):
-                    e = j + 1
-                    lane0 = LANE_PAD + g * 128 + int(XS_OFF[j])
-                    rw_img = [ref_win[c, rr, lane0:lane0 + 128]
-                              for c in range(C)]
-                    wsum = jnp.abs(rw_img[0] - ref_c[0])
-                    for c in range(1, C):
-                        wsum = wsum + jnp.abs(rw_img[c] - ref_c[c])
-                    w = jnp.exp(wsum * (-INV_GAMMA / C))
-                    rw_gx = [ref_win[C + c, rr, lane0:lane0 + 128]
-                             for c in range(C)]
-                    rw_gy = [ref_win[2 * C + c, rr, lane0:lane0 + 128]
-                             for c in range(C)]
-                    for k in range(K):
-                        col = jnp.zeros((8, 128), jnp.float32)
-                        grd = jnp.zeros((8, 128), jnp.float32)
-                        for c in range(C):
-                            img_s = spl[sidx(t1, k, e, c)]
-                            gx_s = (spl[sidx(t1, k, e + 1, c)]
-                                    - spl[sidx(t1, k, e - 1, c)]
-                                    ) * inv_ax[k]
-                            gy_s = (spl[sidx(t2, k, e, c)]
-                                    - spl[sidx(t0, k, e, c)]
-                                    ) + bv[k] * gx_s
-                            col = col + jnp.abs(rw_img[c] - img_s)
-                            grd = grd + (jnp.abs(rw_gx[c] - gx_s)
-                                         + jnp.abs(rw_gy[c] - gy_s))
-                        cost_t = w * (
-                            (1.0 - ALPHA) * jnp.minimum(col * (1.0 / C),
-                                                        TAU_COL)
-                            + ALPHA * jnp.minimum(grd * (GRAD_SCALE / C),
-                                                  TAU_GRAD))
-                        acc[k] = acc[k] + cost_t
+                    for (jrow, p0, p1, p2, osy) in _emits(t):
+                        t0, t1, t2 = p0 % 3, p1 % 3, p2 % 3
+                        dyc = int(ROWS_C[jrow])
+                        rr = pl.ds(VR8 + gi * 8 + dyc, 8)
+                        for j in range(NCOL):
+                            e, elo, ehi, osx = _cols(j)
+                            lane0 = LANE_PAD + g * 128 + int(XS_OFF[j])
+                            rw_img = [ref_win[c, rr, lane0:lane0 + 128]
+                                      for c in range(C)]
+                            wsum = jnp.abs(rw_img[0] - ref_c[0])
+                            for c in range(1, C):
+                                wsum = wsum + jnp.abs(rw_img[c] - ref_c[c])
+                            w = jnp.exp(wsum * (-INV_GAMMA / C))
+                            rw_gx = [ref_win[C + c, rr, lane0:lane0 + 128]
+                                     for c in range(C)]
+                            rw_gy = [ref_win[2 * C + c, rr,
+                                             lane0:lane0 + 128]
+                                     for c in range(C)]
+                            for k in range(K):
+                                col = jnp.zeros((8, 128), jnp.float32)
+                                grd = jnp.zeros((8, 128), jnp.float32)
+                                for c in range(C):
+                                    img_s = spl[sidx(t1, k, e, c)]
+                                    gx_s = (spl[sidx(t1, k, ehi, c)]
+                                            - spl[sidx(t1, k, elo, c)]
+                                            ) * inv_ax[k]
+                                    if osx:
+                                        # One-sided (inc-baseline) column
+                                        # difference, doubled to the
+                                        # 2*inc central-operator scale.
+                                        gx_s = gx_s + gx_s
+                                    gy_d = (spl[sidx(t2, k, e, c)]
+                                            - spl[sidx(t0, k, e, c)])
+                                    if osy:
+                                        gy_d = gy_d + gy_d
+                                    gy_s = gy_d + bv[k] * gx_s
+                                    col = col + jnp.abs(rw_img[c] - img_s)
+                                    grd = grd + (jnp.abs(rw_gx[c] - gx_s)
+                                                 + jnp.abs(rw_gy[c] - gy_s))
+                                cost_t = w * (
+                                    (1.0 - ALPHA) * jnp.minimum(
+                                        col * (1.0 / C), TAU_COL)
+                                    + ALPHA * jnp.minimum(
+                                        grd * (GRAD_SCALE / C), TAU_GRAD))
+                                acc[k] = acc[k] + cost_t
 
-            for k in range(K):
-                o_ref[k, rows, cols] = acc[k]
+                for k in range(K):
+                    o_ref[k, rows, cols] = acc[k]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "BR", "VR8", "SE8", "SPAN", "XS_EXT", "YS_EXT", "XS_OFF", "INC",
+    "C", "BR", "VR8", "SE8", "SPAN", "XS_EXT", "YS_EXT", "XS_OFF",
+    "ROWS_C", "ONESIDED", "INC",
     "ALPHA", "INV_GAMMA", "TAU_COL", "TAU_GRAD", "GRAD_SCALE", "interpret"))
-def _sdg_fused_call(ref_pad, src_pad, abc, db, *,
-                    C, BR, VR8, SE8, SPAN, XS_EXT, YS_EXT, XS_OFF, INC,
+def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
+                    C, BR, VR8, SE8, SPAN, XS_EXT, YS_EXT, XS_OFF,
+                    ROWS_C, ONESIDED, INC,
                     ALPHA, INV_GAMMA, TAU_COL, TAU_GRAD, GRAD_SCALE,
                     interpret):
     CH, hr_tot, wl = ref_pad.shape
@@ -222,6 +276,7 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, *,
     kernel = functools.partial(
         _sdg_fused_kernel, C=C, K=K, BR=BR, VR8=VR8, SE8=SE8, W=W, NB=NB,
         SPAN=SPAN, G=W // 128, XS_EXT=XS_EXT, YS_EXT=YS_EXT, XS_OFF=XS_OFF,
+        ROWS_C=ROWS_C, ONESIDED=ONESIDED,
         INC=INC, ALPHA=ALPHA, INV_GAMMA=INV_GAMMA, TAU_COL=TAU_COL,
         TAU_GRAD=TAU_GRAD, GRAD_SCALE=GRAD_SCALE)
     return pl.pallas_call(
@@ -229,6 +284,7 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, *,
         grid=(HRP // BR,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # db = (lo, hi)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # hwv = (rows, cols)
             pl.BlockSpec(memory_space=pltpu.HBM),    # ref_pad
             pl.BlockSpec(memory_space=pltpu.HBM),    # src_pad
             pl.BlockSpec((K, 3, BR, W), lambda i: (0, 0, i, 0)),
@@ -244,14 +300,15 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, *,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(db, ref_pad, src_pad, abc)
+    )(db, hwv, ref_pad, src_pad, abc)
 
 
 def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
                          abc_k: jnp.ndarray, params,
                          interpret: bool = False,
                          disp_lo=None, disp_hi=None,
-                         span_blocks: int | None = None) -> jnp.ndarray:
+                         span_blocks: int | None = None,
+                         hw_valid=None) -> jnp.ndarray:
     """Fused window_grads cost for K candidates of one rectified pair.
 
     ref_chw: [3C, Hr, Wr] rectified reference channels (img, gx, gy with
@@ -260,7 +317,11 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     abc_k: [K, 3, Hr, Wr] per-candidate affine disparity fields;
     disp_lo / disp_hi: traced disparity clamp (REQUIRED: the analytic
         scratch-window base derives from it);
-    span_blocks: build-time span bound (models/rect_scene.py).
+    span_blocks: build-time span bound (models/rect_scene.py);
+    hw_valid: optional traced int32 [2] = (valid rows, valid cols) of this
+        view's rect window inside the common padded [Hr, Wr] — row blocks
+        and column groups beyond it are skipped in-kernel (their output is
+        unspecified; callers' read-back tables never address them).
 
     Returns [K, Hr, Wr] window costs, elementwise-equal to
     rect_cost._rect_pair_cost_batch_sdg on the affine path.
@@ -274,12 +335,19 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     assert hrad + inc <= LANE_PAD and wr % 128 == 0
     nb = wr // 128
     span = nb if span_blocks is None else min(span_blocks, nb)
+    onesided = bool(getattr(params, "sdg_onesided_edges", False))
     vr8 = _round8(vr)
-    se8 = _round8(vr + inc)
-
+    se8 = _round8(vr + (0 if onesided else inc))
     xs_off = tuple(range(-hrad, hrad + 1, inc))
-    xs_ext = tuple(range(-hrad - inc, hrad + inc + 1, inc))
-    ys_ext = tuple(range(-vr - inc, vr + inc + 1, inc))
+    rows_c = tuple(range(-vr, vr + 1, inc))
+    if onesided:
+        # No extension ring: edge rows/columns use doubled one-sided
+        # window-sample differences (config.sdg_onesided_edges) — a 44%
+        # gather cut at box 11 / increment 2.
+        xs_ext, ys_ext = xs_off, rows_c
+    else:
+        xs_ext = tuple(range(-hrad - inc, hrad + inc + 1, inc))
+        ys_ext = tuple(range(-vr - inc, vr + inc + 1, inc))
     E = len(xs_ext)
     K = abc_k.shape[0]
 
@@ -309,11 +377,14 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     abc = jnp.pad(abc_k, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
     db = jnp.stack([jnp.asarray(disp_lo, jnp.float32),
                     jnp.asarray(disp_hi, jnp.float32)])
+    hwv = (jnp.asarray([hr, wr], jnp.int32) if hw_valid is None
+           else jnp.asarray(hw_valid, jnp.int32))
 
     acc = _sdg_fused_call(
-        ref_pad, src_pad, abc, db,
+        ref_pad, src_pad, abc, db, hwv,
         C=C, BR=br, VR8=vr8, SE8=se8, SPAN=span,
-        XS_EXT=xs_ext, YS_EXT=ys_ext, XS_OFF=xs_off, INC=inc,
+        XS_EXT=xs_ext, YS_EXT=ys_ext, XS_OFF=xs_off,
+        ROWS_C=rows_c, ONESIDED=onesided, INC=inc,
         ALPHA=float(params.alpha), INV_GAMMA=1.0 / float(params.gamma),
         TAU_COL=float(params.tau_color),
         TAU_GRAD=float(params.tau_gradient),

@@ -176,7 +176,8 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                               abc_k: jnp.ndarray, params: AlgorithmParams,
                               interpret: bool = False,
                               disp_lo=None, disp_hi=None,
-                              span_blocks: int | None = None) -> jnp.ndarray:
+                              span_blocks: int | None = None,
+                              hw_valid=None) -> jnp.ndarray:
     """window_grads cost path: src_chw holds ONLY the packed image tap
     words [C, Hr, Wr]; both source gradients are derived from neighboring
     WINDOW SAMPLES instead of gathered gradient channels.
@@ -218,9 +219,17 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     # of gipuma.cu:311 becomes /(16*inc) to keep tau_gradient comparable.
     grad_scale = 0.0625 / inc
 
+    onesided = params.sdg_onesided_edges
     xs_off = np.arange(-hrad, hrad + 1, inc)
-    xs_ext = np.arange(-hrad - inc, hrad + inc + 1, inc)
-    ys_ext = np.arange(-vr - inc, vr + inc + 1, inc)
+    if onesided:
+        # No extension ring: edge rows/columns use one-sided differences
+        # of the window samples (doubled to match the 2*inc-baseline
+        # central operator; see config.sdg_onesided_edges).
+        xs_ext = xs_off
+        ys_ext = np.arange(-vr, vr + 1, inc)
+    else:
+        xs_ext = np.arange(-hrad - inc, hrad + inc + 1, inc)
+        ys_ext = np.arange(-vr - inc, vr + inc + 1, inc)
     ncol, E = len(xs_off), len(xs_ext)
 
     a = abc_k[:, 0]
@@ -253,7 +262,8 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
         return fused_sdg_cost_batch(ref_chw, src_chw, abc_k, params,
                                     interpret=interpret,
                                     disp_lo=d_lo, disp_hi=d_hi,
-                                    span_blocks=span_blocks)
+                                    span_blocks=span_blocks,
+                                    hw_valid=hw_valid)
 
     def gather_row(dy: int):
         src_rows = src_pad[:, vr + inc + dy:vr + inc + dy + hr, :]
@@ -275,25 +285,40 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                                max_span_blocks=span_blocks)
         return smp.reshape(K, E, C, hr, wr)
 
-    # Static Python loop over the nrow+2 extended window rows (NOT a
-    # lax.scan: the sample carries are [K, E, C, hr, wr] and a rolled scan
-    # materializes two rotation COPIES of them per step — ~14% of the sweep
-    # device time in traces; static slices also lower better than
-    # dynamic_slice).  The row_gather call-site count stays bounded
-    # (nrow+2 <= ~15, well under the ~50-site executable limit).
+    # Static Python loop over the gathered window rows (NOT a lax.scan: the
+    # sample carries are [K, E, C, hr, wr] and a rolled scan materializes
+    # two rotation COPIES of them per step — ~14% of the sweep device time
+    # in traces; static slices also lower better than dynamic_slice).  The
+    # row_gather call-site count stays bounded (nrow+2 <= ~15, well under
+    # the ~50-site executable limit).
     smps = [gather_row(int(dy)) for dy in ys_ext]
+    nrow = len(ys_ext) - (0 if onesided else 2)
+    rows_c = range(-vr, vr + 1, inc)
     acc = jnp.zeros((K, hr, wr), jnp.float32)
-    for t in range(2, len(ys_ext)):
-        smp0, smp1, smp2 = smps[t - 2], smps[t - 1], smps[t]
-        dyc = int(ys_ext[t]) - inc          # center row of this contribution
+    for jr, dyc in enumerate(rows_c):
+        # Plane triple for the vertical difference of contribution row jr
+        # (one-sided at the window's first/last row when no ring exists;
+        # a doubled short-baseline difference matches the 2*inc central
+        # operator's scale).
+        if onesided:
+            tlo, thi = max(jr - 1, 0), min(jr + 1, nrow - 1)
+        else:
+            tlo, thi = jr, jr + 2
+        scy = 2.0 if thi - tlo == 1 else 1.0
+        smp0, smp1, smp2 = smps[tlo], smps[jr + (0 if onesided else 1)], \
+            smps[thi]
         for j in range(ncol):
-            e = j + 1
+            if onesided:
+                e, elo, ehi = j, max(j - 1, 0), min(j + 1, ncol - 1)
+            else:
+                e, elo, ehi = j + 1, j, j + 2
+            scx = 2.0 if ehi - elo == 1 else 1.0
             dxj = int(xs_off[j])
             ref_w = ref_pad[:, vr + dyc:vr + dyc + hr,
                             hrad + dxj:hrad + dxj + wr]
             img_s = smp1[:, e]                              # [K, C, hr, wr]
-            gx_s = (smp1[:, e + 1] - smp1[:, e - 1]) * inv_ax[:, None]
-            gy_s = (smp2[:, e] - smp0[:, e]) + b[:, None] * gx_s
+            gx_s = (smp1[:, ehi] - smp1[:, elo]) * (scx * inv_ax[:, None])
+            gy_s = (smp2[:, e] - smp0[:, e]) * scy + b[:, None] * gx_s
             w = jnp.exp(-_l1(ref_w[:C] - ref_center) * inv_gamma)
             col = jnp.minimum(_l1(ref_w[None, :C] - img_s),
                               params.tau_color)
@@ -309,11 +334,16 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                          abc_k: jnp.ndarray, params: AlgorithmParams,
                          interpret: bool = False,
                          disp_lo=None, disp_hi=None,
-                         span_blocks: int | None = None) -> jnp.ndarray:
+                         span_blocks: int | None = None,
+                         hw_valid=None) -> jnp.ndarray:
     """rect_pair_cost for K candidate plane fields at once: abc_k
     [K, 3, Hr, Wr] -> [K, Hr, Wr].  One gather-kernel launch per window
     offset serves every candidate (row_gather_batch), and the reference
-    window/weight work is shared across candidates."""
+    window/weight work is shared across candidates.
+
+    hw_valid: optional traced int32 [2] per-view valid (rows, cols) extent
+    inside a common padded shape (fused-kernel work skipping; values
+    outside the extent are unspecified)."""
     ch, hr, wr = ref_chw.shape
     K = abc_k.shape[0]
     C = ch // 3
@@ -322,7 +352,8 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
         # Packed image words only: the window_grads path.
         return _rect_pair_cost_batch_sdg(
             ref_chw, src_chw, abc_k, params, interpret=interpret,
-            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks)
+            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks,
+            hw_valid=hw_valid)
     grad_fwd = sch == 2 * C
     vr, hrad = params.box_vrad, params.box_hrad
     ref_pad = jnp.pad(ref_chw, ((0, 0), (vr, vr), (hrad, hrad)), mode="edge")
@@ -403,6 +434,11 @@ class RectScene(NamedTuple):
     # spans.shape = (sample_span_blocks, permute_span_blocks) — the
     # row_gather scratch-window bounds verified at build time.
     spans: jnp.ndarray
+    # Per-view valid rect extent (rows, cols) inside the common padded
+    # [Hrp, Wrp]: the fused cost kernel skips row blocks / column groups
+    # beyond it (pad-to-max is pure waste — no read-back targets there).
+    # None disables skipping (legacy scenes).
+    hw_valid: jnp.ndarray = None  # [V, 2] int32
 
     # --- engine-facing delegation (models/patchmatch.py reads these) ---
     @property
@@ -525,8 +561,13 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     unrot_branches = [unrot_branch(k) for k in range(4)]
     rp = cb.row_parity(h, parity)[None]                    # [1, H, 1]
 
+    hwv_all = scene.hw_valid
+    if hwv_all is None:
+        hrp, wrp = scene.ref_rect.shape[-2:]
+        hwv_all = jnp.full((scene.num_views, 2), jnp.int32(max(hrp, wrp)))
+
     def view_body(_, vin):
-        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv = vin
+        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv, hwv = vin
         m_sel = jax.lax.dynamic_index_in_dim(m_rots, kv, axis=0,
                                              keepdims=False)
         m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
@@ -542,7 +583,8 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         cost_rect = rect_pair_cost_batch(ref_r, src_r, abc, params,
                                          interpret=interpret,
                                          disp_lo=dbv[0], disp_hi=dbv[1],
-                                         span_blocks=span_sample)
+                                         span_blocks=span_sample,
+                                         hw_valid=hwv)
         cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret,
                             max_span_blocks=span_perm)     # [K, S, S]
         cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)
@@ -556,7 +598,7 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         view_body, None,
         (scene.ref_rect, scene.src_rect, scene.L,
          scene.fwd_c1, scene.fwd_r, scene.ret_c1, scene.ret_r,
-         scene.rot_k, scene.disp_bounds, scene.view_valid))
+         scene.rot_k, scene.disp_bounds, scene.view_valid, hwv_all))
     return costs                                           # [V, K, H, W2]
 
 

@@ -74,7 +74,9 @@ def _scene_specs(scene, batched: bool):
     if rect:
         specs = RectScene(base=specs, ref_rect=view, src_rect=view, L=view,
                           fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
-                          rot_k=view, disp_bounds=view, spans=base)
+                          rot_k=view, disp_bounds=view, spans=base,
+                          hw_valid=(None if scene.hw_valid is None
+                                    else view))
     return specs
 
 
@@ -96,7 +98,14 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
                      fwd_c1=pad0(scene.fwd_c1), fwd_r=pad0(scene.fwd_r),
                      ret_c1=pad0(scene.ret_c1), ret_r=pad0(scene.ret_r),
                      rot_k=pad0(scene.rot_k),
-                     disp_bounds=pad0(scene.disp_bounds), spans=scene.spans)
+                     disp_bounds=pad0(scene.disp_bounds), spans=scene.spans,
+                     # Padded dummy views do ZERO kernel work (extent 0);
+                     # their costs are garbage and masked by view_valid = 0.
+                     hw_valid=(None if scene.hw_valid is None else
+                               jnp.concatenate(
+                                   [scene.hw_valid,
+                                    jnp.zeros((target - V, 2), jnp.int32)],
+                                   axis=0)))
 
 
 def run_patchmatch_view_sharded(scene, params: AlgorithmParams,

@@ -15,13 +15,14 @@ from gipuma_tpu.ops.rect_cost import rect_multiview_cost
 from gipuma_tpu.utils.synthetic import plane_scene, two_plane_scene
 
 
-def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3):
+def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3, **overrides):
     images, rig, gt_depth, _ = plane_scene(
         num_cams=4, h=h, w=w, focal=100.0, plane_depth=5.0, slant=slant)
     depth_min, depth_max = 3.0, 8.0
     params = AlgorithmParams(
         box_hsize=9, box_vsize=9, iterations=iterations, n_best=2,
-        seed=0).with_depth_range(depth_min, depth_max, rig.f, FAKE_BASELINE)
+        seed=0, **overrides).with_depth_range(depth_min, depth_max, rig.f,
+                                              FAKE_BASELINE)
     scene, info = build_rect_scene(images, rig, [1, 2, 3], params,
                                    depth_min, depth_max)
     return images, rig, gt_depth, params, scene, info
@@ -45,6 +46,22 @@ def test_recovers_plane(slant):
     key = jax.random.PRNGKey(params.seed)
     state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
     depth, normals, cost = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.02)
+    assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
+                              f"median {np.median(err):.4f}")
+
+
+def test_recovers_plane_onesided_edges():
+    """Quality gate for sdg_onesided_edges (ring-free window gradients):
+    slanted-plane recovery must match the ring mode's bar."""
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), sdg_onesided_edges=True)
+    key = jax.random.PRNGKey(params.seed)
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
 
     interior = np.s_[10:-10, 10:-10]
     err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]

@@ -45,6 +45,78 @@ def test_fused_sdg_matches_unfused(C, K, box):
                                rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.parametrize("C,K,box", [(1, 2, 5), (1, 1, 7)])
+def test_fused_sdg_onesided_matches_unfused(C, K, box):
+    """sdg_onesided_edges: the ring-free kernel matches the ring-free
+    unfused path elementwise (edge rows/columns use doubled one-sided
+    window-sample differences)."""
+    hr, wr = 16, 512
+    params = AlgorithmParams(box_hsize=box, box_vsize=box,
+                             sdg_onesided_edges=True)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(3), C, hr, wr, K)
+    lo, hi = jnp.float32(-20.0), jnp.float32(40.0)
+    want = rect_pair_cost_batch(ref, src, abc,
+                                params.replace(fused_window_cost=False),
+                                interpret=True, disp_lo=lo, disp_hi=hi,
+                                span_blocks=3)
+    got = fused_sdg_cost_batch(ref, src, abc, params, interpret=True,
+                               disp_lo=lo, disp_hi=hi, span_blocks=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_onesided_interior_matches_ring_on_smooth_planes():
+    """On a smooth (quadratic) image the one-sided edge estimator's
+    O(inc^2*I'') mismatch is tiny: whole-window costs stay close to the
+    ring mode's."""
+    hr, wr = 16, 256
+    params = AlgorithmParams(box_hsize=5, box_vsize=5,
+                             fused_window_cost=False)
+    ys, xs = np.mgrid[:hr, :wr].astype(np.float32)
+    img = 50.0 + 0.8 * xs + 0.3 * ys + 2e-3 * xs * ys
+    ref = np.stack([img,
+                    np.gradient(img, axis=1) * 4.0,    # step-2 central *2
+                    np.gradient(img, axis=0) * 4.0])
+    src = jnp.asarray(pack_taps(img[None]))
+    abc = jnp.zeros((1, 3, hr, wr), jnp.float32) + jnp.asarray(
+        [0.0, 0.0, 3.0], jnp.float32)[None, :, None, None]
+    lo, hi = jnp.float32(-10.0), jnp.float32(20.0)
+    ring = rect_pair_cost_batch(jnp.asarray(ref), src, abc, params,
+                                interpret=True, disp_lo=lo, disp_hi=hi,
+                                span_blocks=2)
+    oneside = rect_pair_cost_batch(
+        jnp.asarray(ref), src, abc,
+        params.replace(sdg_onesided_edges=True),
+        interpret=True, disp_lo=lo, disp_hi=hi, span_blocks=2)
+    # The one-sided estimator's shorter (inc vs 2*inc) baseline doubles
+    # the bf16 tap-quantization noise of the 2 edge rows/columns' gradient
+    # estimates — the dominant difference on a smooth image (the operator
+    # mismatch itself is O(inc^2*I''), negligible here).  The engine-level
+    # quality gate is tests/test_rect_engine.py::
+    # test_recovers_plane_onesided_edges.
+    interior = np.s_[:, 4:-4, 4:-4]
+    np.testing.assert_allclose(np.asarray(oneside)[interior],
+                               np.asarray(ring)[interior],
+                               rtol=0.15, atol=0.15)
+
+
+def test_fused_sdg_hw_valid_masking():
+    """Per-view extent skipping: the valid region is bitwise-unchanged by
+    hw_valid; only the (never-read) pad region becomes unspecified."""
+    hr, wr = 32, 512
+    params = AlgorithmParams(box_hsize=5, box_vsize=5)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(2), 1, hr, wr, 2)
+    lo, hi = jnp.float32(-20.0), jnp.float32(40.0)
+    full = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params, interpret=True,
+        disp_lo=lo, disp_hi=hi, span_blocks=3))
+    hv, wv = 10, 384     # partial row block; one column group skipped
+    got = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params, interpret=True, disp_lo=lo, disp_hi=hi,
+        span_blocks=3, hw_valid=jnp.asarray([hv, wv], jnp.int32)))
+    np.testing.assert_array_equal(got[:, :hv, :wv], full[:, :hv, :wv])
+
+
 def test_fused_sdg_unaligned_rows_full_span():
     # hr not a multiple of the row block; span == num blocks (base pinned 0).
     hr, wr = 12, 256
