@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute a depth map for every view (scripts loop)")
     p.add_argument("--fuse", action="store_true",
                    help="fuse the per-view depth maps (fusibile stage)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host scan: initialize jax.distributed (env "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID or TPU-pod auto-detection), run "
+                        "this host's block of reference views against the "
+                        "shared -output_folder (no timestamp subdir), "
+                        "resume-safe")
     p.add_argument("--skip_existing", action="store_true",
                    help="resume: skip views whose disp.dmb already exists")
     p.add_argument("--disp_thresh", type=float, default=0.5)
@@ -127,7 +134,10 @@ def main(argv=None) -> int:
 
     params = params_from_args(args)
     ts = time.strftime("%Y%m%d-%H%M%S")
-    out_root = Path(args.output_folder) / ts
+    # Distributed hosts must agree on the output directory (it is the
+    # work-partition ledger): no per-process timestamp subdir.
+    out_root = (Path(args.output_folder) if args.distributed
+                else Path(args.output_folder) / ts)
 
     if args.all_views:
         ref_indices = None
@@ -136,13 +146,24 @@ def main(argv=None) -> int:
     else:
         ref_indices = [0]
 
-    results = run_batch(paths, params, out_root,
-                        p_folder=args.p_folder, krt_file=args.krt_file,
-                        calib_file=args.calib_file,
-                        pmvs_folder=args.pmvs_folder,
-                        ref_indices=ref_indices,
-                        color=args.color_processing,
-                        skip_existing=args.skip_existing)
+    if args.distributed:
+        from .parallel.distributed import (init_distributed,
+                                           run_batch_distributed)
+        pidx, pcount = init_distributed()
+        print(f"[gipuma_tpu] distributed: process {pidx}/{pcount}")
+        results = run_batch_distributed(
+            paths, params, out_root,
+            p_folder=args.p_folder, krt_file=args.krt_file,
+            calib_file=args.calib_file, pmvs_folder=args.pmvs_folder,
+            ref_indices=ref_indices, color=args.color_processing)
+    else:
+        results = run_batch(paths, params, out_root,
+                            p_folder=args.p_folder, krt_file=args.krt_file,
+                            calib_file=args.calib_file,
+                            pmvs_folder=args.pmvs_folder,
+                            ref_indices=ref_indices,
+                            color=args.color_processing,
+                            skip_existing=args.skip_existing)
     for r in results:
         print(f"{r.ref_name}: {r.runtime_s:.2f}s, views={r.view_subset}, "
               f"depth=[{r.depth_min:.3f},{r.depth_max:.3f}]")

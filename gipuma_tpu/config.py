@@ -165,6 +165,16 @@ class AlgorithmParams:
     # bound (models/rect_scene.py) — smaller margin = fewer span blocks =
     # directly faster sampling kernels.
     disp_clamp_margin: float = 8.0
+    # When a (reference, source) pair cannot use the rectified fast path
+    # (epipole in the image, permutation tables too distorted, routing
+    # inexact), DROP that source view from the rect scene — it becomes an
+    # invalid view (cost MAXCOST, zero kernel work) exactly like a padded
+    # view under view sharding — instead of failing the whole scene over
+    # to the exact path.  Off: any unsupported pair falls the entire
+    # reference view back to the exact engine (the pre-existing behavior).
+    # Views a sane angle-window selection picks are virtually always
+    # rectifiable; this matters for no-selection runs with wide rigs.
+    rect_drop_unsupported_views: bool = True
     # Host-loop level dispatch granularity: "host" dispatches each sub-sweep
     # as its own executable (the reference's six-launch schedule); "scan"
     # runs all iterations of a level as ONE device program (lax.scan over

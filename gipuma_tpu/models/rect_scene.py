@@ -97,6 +97,35 @@ class RectifyUnsupported(ValueError):
     """This rig/pair cannot use the rectified fast path."""
 
 
+def _affine_fill(vals_y, vals_x, valid, step: int = 16):
+    """Replace INVALID grid entries of a sampled 2-D map by a global
+    affine (least-squares) fit of its valid samples.
+
+    vals_y/vals_x: [H, W] map outputs; valid: [H, W] bool.  Returns new
+    (vals_y, vals_x).  Why: permutation tables are built from projective
+    maps whose raw values blow up / flip sign across the horizon line
+    (qz -> 0) outside the image footprint, and constant fills jump against
+    real values — both create in-tile index spans that grow with
+    resolution and break the scratch-window gather bound
+    (ops/permute2d.tile_span_blocks).  Non-target slots are never read
+    back, so any SMOOTH values work; the affine trend of the map keeps
+    the table's local slope (and therefore the span) near the footprint's
+    own."""
+    H, W = vals_y.shape
+    sy, sx = np.mgrid[0:H:step, 0:W:step]
+    v = valid[::step, ::step]
+    if v.sum() < 8:
+        return vals_y, vals_x
+    A = np.stack([sx[v], sy[v], np.ones(int(v.sum()))], axis=-1)
+    cy, *_ = np.linalg.lstsq(A, vals_y[::step, ::step][v], rcond=None)
+    cx, *_ = np.linalg.lstsq(A, vals_x[::step, ::step][v], rcond=None)
+    gy, gx = np.mgrid[0:H, 0:W]
+    fit_y = cy[0] * gx + cy[1] * gy + cy[2]
+    fit_x = cx[0] * gx + cx[1] * gy + cx[2]
+    return (np.where(valid, vals_y, fit_y),
+            np.where(valid, vals_x, fit_x))
+
+
 import functools
 
 import jax
@@ -423,8 +452,10 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             with np.errstate(invalid="ignore", divide="ignore"):
                 xl = qa[..., 0] / qa[..., 2] - lo[0]
                 yl = qa[..., 1] / qa[..., 2] - lo[1]
-            xl = np.where(orig_ok, xl, 0.0)
-            yl = np.where(orig_ok, yl, 0.0)
+            # Smooth (affine-trend) fill for slots outside the image:
+            # raw projective values explode near the horizon and constant
+            # fills jump — both blow the per-tile span at scale.
+            yl, xl = _affine_fill(yl, xl, orig_ok)
             qy = np.clip(np.round(yl).astype(np.int64), 0, hr - 1)
             qx = np.clip(np.round(xl).astype(np.int64), 0, wr - 1)
 
@@ -443,8 +474,13 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             # writers (non-target rect pixels' m is never read back — their
             # slots take the smooth fill, keeping gather spans bounded).
             tgt = np.zeros((hr, wr), bool)
-            R_f = np.clip(np.round(yk), 0, s_sq - 1)
-            C_f = np.clip(np.round(xk), 0, s_sq - 1)
+            # Base = the rect -> rotated-reference map with its
+            # beyond-the-footprint values replaced by the affine trend
+            # (the projective pre-image flips sign across the horizon
+            # line, which would put full-grid jumps inside tiles).
+            yk_s, xk_s = _affine_fill(yk, xk, in_ref)
+            R_f = np.clip(np.round(yk_s), 0, s_sq - 1)
+            C_f = np.clip(np.round(xk_s), 0, s_sq - 1)
             tgt[qy[orig_ok], qx[orig_ok]] = True
             R_f[qy[orig_ok], qx[orig_ok]] = sk[orig_ok]
             C_f[qy[orig_ok], qx[orig_ok]] = lk[orig_ok]
@@ -516,12 +552,25 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         d_lo = fb / depth_max - dmargin
         d_hi = fb / depth_min + dmargin
 
+        # Permutation-table span bound, per pair: a too-distorted map
+        # cannot use the scratch-window gather (ops/permute2d).
+        span_p = max(tile_span_blocks(fwd.c1),
+                     tile_span_blocks(np.ascontiguousarray(fwd.r.T)),
+                     tile_span_blocks(ret.c1),
+                     tile_span_blocks(np.ascontiguousarray(ret.r.T)))
+        if span_p > 6:
+            raise RectifyUnsupported(
+                f"view {v}: permutation tables need {span_p} 128-col "
+                "blocks per tile (map too distorted for the "
+                "scratch-window gather)")
+
         pair = (ref_rect, src_rect, L_local, fwd, ret, hr, wr,
                 k_rot, (d_lo, d_hi))
         pinfo = {
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "scales": (round(a_scale, 3), round(b_shear, 3),
                        round(c_scale, 3)),
+            "span_perm": span_p,
             # Plane-routing exactness, verified at build (<= 0.5%).
             "routing_bad_frac": bad_frac,
             "fwd_affected_frac": float(fwd.affected[tgt].mean()),
@@ -529,16 +578,50 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         }
         return pair, pinfo
 
+    def build_pair_safe(v):
+        try:
+            return build_pair(v)
+        except RectifyUnsupported as e:
+            return None, {"view": v, "error": str(e)}
+
     # Pairs are independent; numpy releases the GIL on the big ops (warps,
     # scatters, fancy indexing), so threads overlap them across cores.
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(4, len(view_subset))) as ex:
-        built_pairs = list(ex.map(build_pair, view_subset))
-    per_pair = [p for p, _ in built_pairs]
-    info = {"pairs": [pi for _, pi in built_pairs]}
+        built_pairs = list(ex.map(build_pair_safe, view_subset))
 
-    hrp = _round_up(max(p[5] for p in per_pair), 8)
-    wrp = max(p[6] for p in per_pair)
+    # Per-view fallback: unsupported pairs become INVALID views (view_valid
+    # = 0, zero-extent = zero kernel work — the same mechanism as padded
+    # views under view sharding) instead of failing the whole reference
+    # view over to the exact path (config.rect_drop_unsupported_views).
+    dropped = [pi for p, pi in built_pairs if p is None]
+    good = [p for p, _ in built_pairs if p is not None]
+    if dropped and (not params.rect_drop_unsupported_views or not good):
+        raise RectifyUnsupported("; ".join(d["error"] for d in dropped))
+    if dropped:
+        print(f"[gipuma_tpu] rect path: dropping "
+              f"{len(dropped)}/{len(view_subset)} unsupported view(s) "
+              f"{[d['view'] for d in dropped]} (invalid-view cost)")
+        t = good[0]
+        dummy = (np.zeros((t[0].shape[0], 8, 128), np.asarray(t[0]).dtype),
+                 np.zeros((t[1].shape[0], 8, 128), np.asarray(t[1]).dtype),
+                 np.zeros((3, 3)),
+                 build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
+                 build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
+                 0, 128, 0, (0.0, 1.0))
+        built_pairs = [(p if p is not None else dummy, pi)
+                       for p, pi in built_pairs]
+        vv = np.asarray(base.view_valid).copy()
+        vv[[i for i, (p, _) in enumerate(built_pairs)
+            if p is dummy]] = 0.0
+        base = base._replace(view_valid=jnp.asarray(vv))
+
+    per_pair = [p for p, _ in built_pairs]
+    info = {"pairs": [pi for _, pi in built_pairs],
+            "dropped_views": [d["view"] for d in dropped]}
+
+    hrp = _round_up(max(p[5] for p in good), 8)
+    wrp = max(p[6] for p in good)
     s_sq = max(h, w)
 
     # Pad + stack in NUMPY, one device transfer per final array: doing this
@@ -609,20 +692,14 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # range + bilinear tap slack; the trailing +1 block absorbs the
     # 128-alignment of the scratch-window base.  Permute span is measured
     # exactly from the built tables.
-    max_range = max(p[8][1] - p[8][0] for p in per_pair)
+    max_range = max(p[8][1] - p[8][0] for p in good)
     reach = params.box_hrad + (params.window_increment
                                if params.window_grads
                                and not params.sdg_onesided_edges else 0)
     span_sample = int(np.ceil((132.0 + 2 * reach + max_range) / 128.0)) + 1
-    span_perm = max(max(tile_span_blocks(p[3].c1),
-                        tile_span_blocks(np.ascontiguousarray(p[3].r.T)),
-                        tile_span_blocks(p[4].c1),
-                        tile_span_blocks(np.ascontiguousarray(p[4].r.T)))
-                    for p in per_pair)
-    if span_perm > 6:
-        raise RectifyUnsupported(
-            f"permutation tables need {span_perm} 128-col blocks per tile "
-            "(map too distorted for the scratch-window gather)")
+    # Verified per pair at build (build_pair raises past 6 blocks).
+    span_perm = max(pi["span_perm"] for _, pi in built_pairs
+                    if "span_perm" in pi)
     spans = jnp.zeros((span_sample, span_perm), jnp.int8)
 
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,

@@ -89,23 +89,34 @@ def intersect_plane(P: np.ndarray, h: int, w: int,
 def plane_scene(num_cams: int = 4, h: int = 64, w: int = 80,
                 focal: float = 120.0, plane_n=(0.0, 0.0, 1.0),
                 plane_depth: float = 5.0,
-                slant: tuple[float, float] = (0.0, 0.0)):
+                slant: tuple[float, float] = (0.0, 0.0),
+                radius: float = 0.4):
     """Render a textured (optionally slanted) plane into `num_cams` views.
 
     Returns (images list [h,w] float32, rig, gt_depth [h,w] for camera 0,
     plane (n_world, d_world)).
-    plane passes through (0, 0, plane_depth); `slant` tilts the normal.
+    plane passes through (0, 0, plane_depth); `slant` tilts the normal;
+    `radius` is the camera-ring radius in world units (match it to
+    plane_depth for realistic triangulation angles — e.g. DTU-like mm
+    scenes want radius ~ depth/4, not the unit-scene default).
+
+    The texture is evaluated in DEPTH-NORMALIZED world coordinates so its
+    spatial frequency relative to the pixel grid is scale-invariant:
+    without this, mm-scale scenes (plane_depth ~600) alias the analytic
+    texture into per-pixel noise.
     """
     n = np.array([slant[0], slant[1], 1.0])
     n = n / np.linalg.norm(n)
     d = -n @ np.array([0.0, 0.0, plane_depth])
 
-    Ps = make_ring_P(num_cams, h, w, focal, target_depth=plane_depth)
+    Ps = make_ring_P(num_cams, h, w, focal, target_depth=plane_depth,
+                     radius=radius)
+    tex_scale = 5.0 / plane_depth   # unit scene (depth 5) = identity
     images = []
     gt_depth = None
     for i, P in enumerate(Ps):
         X, depth = intersect_plane(P, h, w, n, d)
-        images.append(texture_fn(X).astype(np.float32))
+        images.append(texture_fn(X * tex_scale).astype(np.float32))
         if i == 0:
             gt_depth = depth.astype(np.float32)
     rig = build_rig(Ps)

@@ -22,18 +22,28 @@ def main():
     print("devices:", jax.devices(), flush=True)
     h, w, n_views = 1200, 1600, 10
     focal = 2200.0
-    # DTU-like depth scale (mm): plane at 600, range [400, 1000].
+    # DTU-like geometry (mm): plane at 600, range [400, 1000], camera ring
+    # radius 150 -> ~14 deg triangulation angles (inside the dtu_fast
+    # 10-30 deg selection window; DTU's actual rig class).
     images, rig, gt, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=focal,
-                                     plane_depth=600.0, slant=(0.2, -0.1))
-    Ps = make_ring_P(n_views, h, w, focal, target_depth=600.0)
+                                     plane_depth=600.0, slant=(0.2, -0.1),
+                                     radius=150.0)
+    Ps = make_ring_P(n_views, h, w, focal, target_depth=600.0, radius=150.0)
     names = [f"cam{i:03d}" for i in range(n_views)]
-    subset = list(range(1, n_views))
     dmin, dmax = 400.0, 1000.0
 
     params = PRESETS["dtu_fast"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=2)
     params = params.with_depth_range(dmin, dmax, rig.f, FAKE_BASELINE)
+    # Angle-window view selection, as scripts/dtu_fast.sh runs the
+    # reference (-view_selection, angles 10-30 deg): wide-angle pairs are
+    # low-value for the cost AND may be unrectifiable.
+    from gipuma_tpu.select import select_views
+    subset, _, _ = select_views(rig, w, h, params)
+    if not subset:
+        subset = list(range(1, n_views))
+    print(f"selected views: {subset}", flush=True)
 
     t0 = time.perf_counter()
     prep = prepare_pyramid(images, Ps, names, subset, params, dmin, dmax)

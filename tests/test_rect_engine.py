@@ -70,6 +70,51 @@ def test_recovers_plane_onesided_edges():
                               f"median {np.median(err):.4f}")
 
 
+def test_drop_unsupported_view():
+    """A forward-motion source (baseline along the optical axis cannot be
+    row-rectified) is DROPPED as an invalid view instead of failing the
+    whole scene to the exact path; quality holds on the remaining views."""
+    import jax.numpy as jnp
+
+    from gipuma_tpu.geometry.camera import build_rig
+    from gipuma_tpu.models.rect_scene import RectifyUnsupported
+    from gipuma_tpu.utils.synthetic import make_ring_P
+
+    images, rig, gt_depth, _ = plane_scene(
+        num_cams=4, h=48, w=64, focal=100.0, plane_depth=5.0,
+        slant=(0.2, -0.1))
+    Ps = make_ring_P(4, 48, 64, 100.0, target_depth=5.0)
+    K = np.array([[100.0, 0.0, 32.0], [0.0, 100.0, 24.0], [0.0, 0.0, 1.0]])
+    # 5th camera: pure forward translation — unrectifiable with the ref.
+    P_fwd = K @ np.hstack([np.eye(3), [[0.0], [0.0], [-0.5]]])
+    Ps = list(Ps) + [P_fwd]
+    images = list(images) + [images[0]]
+    names = [f"c{i}" for i in range(5)]
+    rig5 = build_rig(Ps, names)
+
+    params = AlgorithmParams(
+        box_hsize=9, box_vsize=9, iterations=3, n_best=2,
+        seed=0).with_depth_range(3.0, 8.0, rig5.f, FAKE_BASELINE)
+    scene, info = build_rect_scene(images, rig5, [1, 2, 3, 4], params,
+                                   3.0, 8.0)
+    assert info["dropped_views"] == [4]
+    assert float(scene.view_valid[3]) == 0.0     # position of view 4
+    assert int(scene.hw_valid[3, 0]) == 0        # zero-extent = no work
+
+    state = run_patchmatch(scene, params, jax.random.PRNGKey(0),
+                           cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    assert np.mean(err < 0.02) > 0.85, f"median {np.median(err):.4f}"
+
+    # Flag off: the same rig must fall back whole-scene (old behavior).
+    with pytest.raises(RectifyUnsupported):
+        build_rect_scene(images, rig5, [1, 2, 3, 4],
+                         params.replace(rect_drop_unsupported_views=False),
+                         3.0, 8.0)
+
+
 def test_two_plane_discontinuity():
     images, rig, gt_depth, near_mask = two_plane_scene(
         num_cams=5, h=48, w=64, focal=100.0)
