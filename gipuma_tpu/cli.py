@@ -218,9 +218,27 @@ def main(argv=None) -> int:
         fp = FusionParams(disp_thresh=args.disp_thresh,
                           normal_thresh=args.normal_thresh,
                           num_consistent=args.num_consistent)
-        depths = np.stack([r.depth for r in results])
-        normals = np.stack([r.normals for r in results])
         order = ref_indices if ref_indices is not None else list(range(len(names)))
+        if len(results) == len(order):
+            depths = np.stack([r.depth for r in results])
+            normals = np.stack([r.normals for r in results])
+        else:
+            # Distributed / resumed batch: this process holds only its own
+            # share in memory — fuse from the per-view outputs on disk
+            # (the .dmb files are the interchange format, exactly how the
+            # reference's scripts hand fusibile the results).
+            from .io.dmb import read_dmb
+            depths, normals = [], []
+            for ref in order:
+                vdir = out_root / Path(names[ref]).stem
+                if not (vdir / "disp.dmb").exists():
+                    print(f"fusion: missing {vdir}/disp.dmb — is the "
+                          "batch complete?", file=sys.stderr)
+                    return 3
+                depths.append(read_dmb(vdir / "disp.dmb"))
+                normals.append(read_dmb(vdir / "normals.dmb"))
+            depths = np.stack(depths)
+            normals = np.stack(normals)
         pts, nrm, col = fuse_depthmaps(
             depths, normals, [Ps[i] for i in order], fp)
         out = out_root / "fused.ply"

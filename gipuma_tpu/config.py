@@ -279,6 +279,19 @@ PRESETS: dict[str, AlgorithmParams] = {
         depth_min=300.0, depth_max=800.0, view_selection=True,
         min_angle=10.0, max_angle=30.0, max_views=2**31 - 1,
     ),
+    # High-resolution outdoor/indoor benchmarks (Tanks&Temples, ETH3D) —
+    # a NEW workload class (the reference has no preset; BASELINE.json
+    # config 5: "4K+ images, N-host distributed PatchMatch+fusion").
+    # Depth range comes from SfM (bundler/colmap) per scene, so it is left
+    # unset (-1 = infer); cam_scale 0.5 halves 4K-6K inputs toward the
+    # rect path's table budget — pair with --distributed for multi-host
+    # scans and fusion/sharded for the fused cloud.
+    "highres": AlgorithmParams(
+        box_hsize=15, box_vsize=15, iterations=6, n_best=3,
+        depth_min=-1.0, depth_max=-1.0, view_selection=True,
+        min_angle=5.0, max_angle=45.0, max_views=9, cam_scale=0.5,
+        pyramid_levels=3, pyramid_fine_iterations=1,
+    ),
 }
 
 

@@ -1,0 +1,59 @@
+"""CLI end-to-end: batch over all views, fusion (in-memory and the
+disk-fallback path a resumed/distributed invocation takes)."""
+import numpy as np
+
+from gipuma_tpu.cli import main
+from gipuma_tpu.io.vis import save_png
+from gipuma_tpu.utils.synthetic import make_ring_P, plane_scene
+
+
+def _write_scene(tmp_path, num_cams=4, h=48, w=64):
+    images, _, _, _ = plane_scene(num_cams=num_cams, h=h, w=w, focal=90.0,
+                                  plane_depth=5.0)
+    Ps = make_ring_P(num_cams, h, w, 90.0, target_depth=5.0)
+    pdir = tmp_path / "cams"
+    pdir.mkdir()
+    names = []
+    for i, (im, P) in enumerate(zip(images, Ps)):
+        name = f"cam{i:03d}.png"
+        save_png(tmp_path / name, np.clip(im, 0, 255).astype(np.uint8))
+        (pdir / f"{name}.P").write_text(
+            "\n".join(" ".join(f"{v:.10g}" for v in row) for row in P))
+        names.append(name)
+    return names, str(pdir)
+
+
+def _flags(tmp_path, pdir, out):
+    return ["-images_folder", str(tmp_path), "-p_folder", pdir,
+            "-output_folder", str(out),
+            "-blocksize", "7", "--iterations", "1",
+            "--depth_min", "3.0", "--depth_max", "8.0",
+            "--min_angle", "0.01", "--max_angle", "60.0"]
+
+
+def test_cli_batch_and_fuse(tmp_path):
+    names, pdir = _write_scene(tmp_path)
+    out = tmp_path / "res"
+    rc = main(_flags(tmp_path, pdir, out) + names
+              + ["--all_views", "--fuse", "--num_consistent", "1",
+                 "--disp_thresh", "2.0", "--normal_thresh", "60"])
+    assert rc == 0
+    run_dir = next(out.iterdir())          # timestamped subdir
+    assert (run_dir / "fused.ply").exists()
+    for n in names:
+        assert (run_dir / n.replace(".png", "") / "disp.dmb").exists()
+
+
+def test_cli_distributed_resume_fuses_from_disk(tmp_path):
+    """--distributed: no timestamp subdir; a second invocation finds all
+    views done (results == []) and fuses from the on-disk dmb maps."""
+    names, pdir = _write_scene(tmp_path)
+    out = tmp_path / "res"
+    base = _flags(tmp_path, pdir, out) + names + ["--all_views",
+                                                  "--distributed"]
+    assert main(base) == 0
+    assert (out / "cam000" / "disp.dmb").exists()   # no timestamp level
+    rc = main(base + ["--fuse", "--num_consistent", "1",
+                      "--disp_thresh", "2.0", "--normal_thresh", "60"])
+    assert rc == 0
+    assert (out / "fused.ply").exists()
