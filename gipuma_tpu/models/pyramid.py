@@ -16,9 +16,11 @@ the final level runs the same full-resolution refinement schedule.
 """
 from __future__ import annotations
 
+import functools as _ft
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import AlgorithmParams
@@ -30,6 +32,36 @@ from .scene import build_scene, ensure_even_width
 # Module-level jit (one cache for all runs): an eager finalize — or a jit
 # wrapper recreated per call — would dispatch/retrace per depth-map job.
 _jfin = jax.jit(finalize)
+
+
+def _up2_jnp(a: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Device-side upsample2_to: nearest 2x, cropped/edge-padded to
+    exactly [h, w, ...] (h, w static under jit)."""
+    up = jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+    up = up[:h, :w]
+    pad = [(0, h - up.shape[0]), (0, w - up.shape[1])]
+    pad += [(0, 0)] * (up.ndim - 2)
+    return jnp.pad(up, pad, mode="edge")
+
+
+@_ft.lru_cache(maxsize=None)
+def _handoff_jit(cost_fn):
+    """Device-side level hand-off: finalize the coarse level, 2x-upsample
+    depth + world normals, and warm-start the fine level — ONE dispatch,
+    no host round-trip.  The previous host path (np.asarray the coarse
+    result, numpy upsample, re-upload for warm_start) moved ~8 MB through
+    the TPU relay per dino-scale run and serialized on the fetch."""
+    from ..utils.checkpoint import _warm_start_impl
+
+    def impl(state_c, scene_c, scene_f, params_f, key):
+        depth_c, n_world_c, _ = finalize(state_c, scene_c)
+        h, w = scene_f.rays.shape[:2]
+        depth_up = _up2_jnp(depth_c, h, w)
+        normals_up = _up2_jnp(n_world_c, h, w)
+        return _warm_start_impl(scene_f, params_f, key, depth_up,
+                                normals_up, cost_fn=cost_fn)
+
+    return jax.jit(impl, static_argnames=("params_f",))
 
 
 def downscale2(img: np.ndarray) -> np.ndarray:
@@ -124,26 +156,24 @@ def run_pyramid(prep, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the prepared levels (coarsest first, resolved tuples or
     futures); returns numpy (depth, normals_world, cost) at full
     resolution."""
-    from ..utils.checkpoint import warm_start
-
-    result = None
+    state = None
+    prev_scene = None
+    scene = None
     for item in prep:
         scene, cost_fn, params_l, (h_l, w_l) = (
             item.result() if hasattr(item, "result") else item)
         key, k_lvl = jax.random.split(key)
-        if result is None:
+        if state is None:
             state = run_patchmatch_host_loop(scene, params_l, k_lvl,
                                              cost_fn=cost_fn)
         else:
-            depth_up = upsample2_to(result[0], h_l, w_l)
-            normals_up = upsample2_to(result[1], h_l, w_l)
-            state = warm_start(scene, params_l, k_lvl, depth_up,
-                               normals_up, cost_fn=cost_fn)
+            state = _handoff_jit(cost_fn)(state, prev_scene, scene,
+                                          params_f=params_l, key=k_lvl)
             state = run_patchmatch_host_loop(scene, params_l, k_lvl,
                                              cost_fn=cost_fn, state=state)
-        depth, normals, cost = _jfin(state, scene)
-        result = (np.asarray(depth), np.asarray(normals), np.asarray(cost))
-    return result
+        prev_scene = scene
+    depth, normals, cost = _jfin(state, scene)
+    return (np.asarray(depth), np.asarray(normals), np.asarray(cost))
 
 
 def run_patchmatch_pyramid(images: Sequence[np.ndarray],
