@@ -58,7 +58,9 @@ def main() -> int:
                            depth_min, depth_max)
 
     def job(k):
-        return run_pyramid(prep, k)[0]
+        # Device-array return: the metric times compute + the depth fetch,
+        # not the normals/cost transfers a depth-only consumer never makes.
+        return run_pyramid(prep, k, as_numpy=False)[0]
 
     # Warmup / compile.  np.asarray forces a real device fetch (timings
     # through the remote TPU relay lie otherwise, CLAUDE.md).

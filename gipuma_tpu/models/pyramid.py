@@ -152,10 +152,14 @@ def prepare_pyramid(images: Sequence[np.ndarray],
     return [f.result() for f in futures]
 
 
-def run_pyramid(prep, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def run_pyramid(prep, key, as_numpy: bool = True
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the prepared levels (coarsest first, resolved tuples or
-    futures); returns numpy (depth, normals_world, cost) at full
-    resolution."""
+    futures); returns (depth, normals_world, cost) at full resolution.
+
+    as_numpy=False returns the jax device arrays instead — callers that
+    need only one output (or feed fusion on-device) skip fetching ~6 MB
+    per dino-scale view through the TPU relay."""
     state = None
     prev_scene = None
     scene = None
@@ -173,6 +177,8 @@ def run_pyramid(prep, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                                              cost_fn=cost_fn, state=state)
         prev_scene = scene
     depth, normals, cost = _jfin(state, scene)
+    if not as_numpy:
+        return depth, normals, cost
     return (np.asarray(depth), np.asarray(normals), np.asarray(cost))
 
 
