@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference view index (pmvs mode, main.cpp:409-421)")
     p.add_argument("-output_folder", default="results")
     # Algorithm flags (main.cpp:164-428)
+    p.add_argument("-a", dest="algorithm", choices=["pm", "ct"], default=None,
+                   help="matching cost: pm (bilaterally weighted color+"
+                        "gradient, default) or ct (census transform) — the "
+                        "two algorithms that exist on the reference device "
+                        "path (main.cpp:225-241; the other parsed names are "
+                        "dead there, SURVEY.md §2)")
+    p.add_argument("--census_epsilon", type=float, default=None)
     p.add_argument("--preset", choices=sorted(PRESETS), default=None)
     p.add_argument("-blocksize", type=int, default=None)
     p.add_argument("--iterations", type=int, default=None)
@@ -105,10 +112,15 @@ def params_from_args(args) -> AlgorithmParams:
     for name in ("iterations", "tau_color", "tau_gradient", "alpha", "gamma",
                  "depth_min", "depth_max", "n_best", "good_factor",
                  "min_angle", "max_angle", "max_views", "cam_scale", "seed",
-                 "cost_path", "pyramid_levels", "pyramid_fine_iterations"):
+                 "cost_path", "pyramid_levels", "pyramid_fine_iterations",
+                 "census_epsilon"):
         v = getattr(args, name, None)
         if v is not None:
             over[name] = v
+    if args.algorithm is not None:
+        from .config import MatchingAlgorithm
+        over["algorithm"] = {"pm": MatchingAlgorithm.PM,
+                             "ct": MatchingAlgorithm.CENSUS}[args.algorithm]
     if args.cost_comb is not None:
         over["cost_comb"] = {"all": CostCombination.ALL,
                              "best_n": CostCombination.BEST_N,
@@ -173,13 +185,25 @@ def main(argv=None) -> int:
         # groundTruthUtils.h:22-139, flags at main.cpp:378-385).
         from .eval.metrics import depth_error, normal_error
         from .io.dmb import read_dmb
-        from .io.images import load_image
+        from .io.images import decode_normal_map_16u, load_image, \
+            load_image_raw
         from .io.pfm import read_pfm
         from .io.vis import save_png
 
         def _read_map(path):
-            return np.asarray(read_dmb(path) if path.endswith(".dmb")
-                              else read_pfm(path))
+            # dmb/pfm by extension; ANY other image via the raw decoder —
+            # the reference's imread(-1) fallback (main.cpp:770-772).
+            if path.endswith(".dmb"):
+                return np.asarray(read_dmb(path))
+            if path.endswith(".pfm"):
+                return np.asarray(read_pfm(path))
+            return load_image_raw(path)
+
+        def _read_normal_map(path):
+            if path.endswith(".dmb"):
+                return np.asarray(read_dmb(path))
+            # 16-bit image GT normals: n*32767+32767 (main.cpp:800-817).
+            return decode_normal_map_16u(load_image_raw(path))
 
         occl = (load_image(args.occl_mask) > 0 if args.occl_mask else None)
         rep = depth_error(results[0].depth, _read_map(args.gt),
@@ -200,7 +224,8 @@ def main(argv=None) -> int:
             save_png(out_root / "gt_error_nocc.png",
                      (rep_n.error_map * 255).astype(np.uint8))
         if args.gt_normal:
-            nrep = normal_error(results[0].normals, _read_map(args.gt_normal))
+            nrep = normal_error(results[0].normals,
+                                _read_normal_map(args.gt_normal))
             print(f"GT normal error: >=0.2rad {nrep.error_rate_02:.4f} "
                   f">=0.3rad {nrep.error_rate_03:.4f} "
                   f"(mean {nrep.mean_angle_rad:.4f} rad)")
@@ -239,8 +264,22 @@ def main(argv=None) -> int:
                 normals.append(read_dmb(vdir / "normals.dmb"))
             depths = np.stack(depths)
             normals = np.stack(normals)
-        pts, nrm, col = fuse_depthmaps(
-            depths, normals, [Ps[i] for i in order], fp)
+        if args.distributed:
+            # Pod-scale fusion: shard the consistency check's view axis
+            # over all devices (fusion/sharded.py — the all-to-all
+            # reprojection the reference delegates to fusibile).
+            import jax
+            from jax.sharding import Mesh
+            from .fusion.sharded import fuse_depthmaps_sharded
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, ("view",))
+            pts, nrm, col = fuse_depthmaps_sharded(
+                depths, normals, [Ps[i] for i in order], fp, mesh)
+            if jax.process_index() != 0:
+                return 0
+        else:
+            pts, nrm, col = fuse_depthmaps(
+                depths, normals, [Ps[i] for i in order], fp)
         out = out_root / "fused.ply"
         n = write_ply_points(out, pts, nrm, col)
         print(f"fused cloud: {n} points -> {out}")

@@ -91,59 +91,56 @@ def fuse_depthmaps(depths: np.ndarray, normals: np.ndarray, Ps: Sequence[np.ndar
     disp = lambda dpt: f * baseline / dpt
 
     # World points per view (computed once).
-    X_all = jnp.stack([
-        _back_project_grid(M_inv[i], p4[i], depths[i]) for i in range(N)])
+    X_all = jax.vmap(_back_project_grid)(M_inv, p4, depths)
 
     used = jnp.zeros((N, h, w), jnp.bool_)
     out_pts, out_nrm, out_col = [], [], []
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def consistency(i, used):
-        """For view i: per-pixel consistent-view count, accumulated point/
-        normal sums, and the (j, q) hits to mark used."""
+        """For view i (TRACED index — one compiled executable regardless
+        of N; a static index compiled N distinct executables, each
+        unrolling an N-view loop — untenable at DTU's 49 or T&T's
+        hundreds of views): per-pixel consistent-view count, accumulated
+        point/normal sums, and the consumed-pixel marks."""
         Xi = X_all[i]
         ni = normals_j[i]
         valid_i = (depths[i] > 0) & ~used[i]
-        acc_X = Xi
-        acc_n = ni
-        count = jnp.zeros((h, w), jnp.int32)
-        hits = []
-        for j in range(N):
-            if j == i:
-                hits.append((jnp.zeros((h, w), jnp.int32),
-                             jnp.zeros((h, w), jnp.int32),
-                             jnp.zeros((h, w), jnp.bool_)))
-                continue
-            xi_, yi_, d_proj, inside = _project(Pj[j], Xi, (h, w))
-            d_j = depths[j][yi_, xi_]
-            n_j = normals_j[j][yi_, xi_]
-            X_j = X_all[j][yi_, xi_]
-            u_j = used[j][yi_, xi_]
-            ok = (inside & valid_i & ~u_j & (d_j > 0)
+        is_i = jnp.arange(N) == i
+
+        def body(carry, vin):
+            count, acc_X, acc_n = carry
+            Pj_, d_map, n_map, X_map, u_map, isi = vin
+            xi_, yi_, d_proj, inside = _project(Pj_, Xi, (h, w))
+            d_j = d_map[yi_, xi_]
+            n_j = n_map[yi_, xi_]
+            X_j = X_map[yi_, xi_]
+            u_j = u_map[yi_, xi_]
+            ok = (inside & valid_i & ~u_j & ~isi & (d_j > 0)
                   & (jnp.abs(disp(d_j) - disp(d_proj)) < params.disp_thresh)
                   & (jnp.sum(ni * n_j, -1) > cos_thresh))
             count = count + ok.astype(jnp.int32)
             acc_X = acc_X + jnp.where(ok[..., None], X_j, 0.0)
             acc_n = acc_n + jnp.where(ok[..., None], n_j, 0.0)
-            hits.append((yi_, xi_, ok))
+            return (count, acc_X, acc_n), (yi_, xi_, ok)
+
+        (count, acc_X, acc_n), (yis, xis, oks) = jax.lax.scan(
+            body, (jnp.zeros((h, w), jnp.int32), Xi, ni),
+            (Pj, depths, normals_j, X_all, used, is_i))
         keep = valid_i & (count >= params.num_consistent)
         denom = (count + 1).astype(jnp.float32)[..., None]
         fused_X = acc_X / denom
         fused_n = acc_n / jnp.maximum(
             jnp.linalg.norm(acc_n, axis=-1, keepdims=True), 1e-12)
-        # Mark consumed pixels in other views.
-        new_used = []
-        for j in range(N):
-            if j == i:
-                new_used.append(used[j] | keep)
-            else:
-                yi_, xi_, ok = hits[j]
-                mark = ok & keep
-                new_used.append(used[j].at[yi_, xi_].max(mark))
-        return keep, fused_X, fused_n, jnp.stack(new_used)
+        # Mark consumed pixels in other views (view i's own ok row is all
+        # False via ~is_i; its pixels are consumed by `keep` directly).
+        new_used = jax.vmap(
+            lambda u, y, x, m: u.at[y, x].max(m))(used, yis, xis, oks & keep)
+        new_used = jnp.where(is_i[:, None, None], new_used | keep, new_used)
+        return keep, fused_X, fused_n, new_used
 
     for i in range(N):
-        keep, fx, fn, used = consistency(i, used)
+        keep, fx, fn, used = consistency(jnp.asarray(i, jnp.int32), used)
         keep_np = np.asarray(keep)
         out_pts.append(np.asarray(fx)[keep_np])
         out_nrm.append(np.asarray(fn)[keep_np])

@@ -50,7 +50,13 @@ def _handoff_jit(cost_fn):
     depth + world normals, and warm-start the fine level — ONE dispatch,
     no host round-trip.  The previous host path (np.asarray the coarse
     result, numpy upsample, re-upload for warm_start) moved ~8 MB through
-    the TPU relay per dino-scale run and serialized on the fetch."""
+    the TPU relay per dino-scale run and serialized on the fetch.
+
+    Cache key: cost_fn must be a MODULE-LEVEL function (multiview_cost /
+    rect_multiview_cost — what _level_scene returns).  A per-run closure
+    (e.g. the parallel layer's view-sharded cost_fn) would leak one
+    compiled executable per run; the parallel runners don't go through
+    the pyramid hand-off, so this is an invariant, not a live risk."""
     from ..utils.checkpoint import _warm_start_impl
 
     def impl(state_c, scene_c, scene_f, params_f, key):
@@ -160,6 +166,8 @@ def run_pyramid(prep, key, as_numpy: bool = True
     as_numpy=False returns the jax device arrays instead — callers that
     need only one output (or feed fusion on-device) skip fetching ~6 MB
     per dino-scale view through the TPU relay."""
+    if not prep:
+        raise ValueError("run_pyramid: empty prep (no pyramid levels)")
     state = None
     prev_scene = None
     scene = None

@@ -274,14 +274,6 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     max_blowup: reject pairs whose rect window exceeds this multiple of the
     image area (near-epipole distortion would dominate the run).
     """
-    from ..config import MatchingAlgorithm
-    if params.algorithm != MatchingAlgorithm.PM:
-        # The rectified fast path implements the PM (bilateral
-        # color+gradient) cost only; census callers fall back to the exact
-        # engine via the standard RectifyUnsupported route.
-        raise RectifyUnsupported(
-            f"cost algorithm {params.algorithm.name} requires the exact "
-            "path")
     if base is None:
         base = build_scene(images, rig, view_subset, params,
                            depth_min, depth_max, lite=True)

@@ -233,12 +233,20 @@ def per_view_costs(scene: ScenePack, params: AlgorithmParams, parity: int,
     return out
 
 
-def combine_view_costs(costs: jnp.ndarray, params: AlgorithmParams) -> jnp.ndarray:
+def combine_view_costs(costs: jnp.ndarray, params: AlgorithmParams,
+                       view_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Best-n / good / all combination over the view axis.
 
     costs: [V, ...] with invalid views already at MAXCOST.  Vectorized
     replacement for sort_small + the combination loop
     (gipuma.cu:779-805).
+
+    view_valid: optional [V] mask (1.0 real view / 0.0 view-sharding pad,
+    ScenePack.view_valid).  GOOD divides by the REAL subset size
+    (numBest = viewSelectionSubsetNumber, gipuma.cu:785-786), so padded
+    slots must not count; with costs the only input, a padded slot's
+    MAXCOST is indistinguishable from a real view's invalid MAXCOST.
+    BEST_N/ALL count only sub-MAXCOST entries and need no mask.
     """
     V = costs.shape[0]
     num_valid = jnp.sum((costs < MAXCOST).astype(jnp.int32), axis=0)
@@ -249,8 +257,15 @@ def combine_view_costs(costs: jnp.ndarray, params: AlgorithmParams) -> jnp.ndarr
     elif params.cost_comb == CostCombination.ALL:
         num_best = num_valid
     elif params.cost_comb == CostCombination.GOOD:
-        num_best = jnp.full_like(num_valid, V)
+        if view_valid is None:
+            n_real = V
+        else:
+            n_real = jnp.sum(view_valid.astype(jnp.int32))
+        num_best = jnp.full_like(num_valid, n_real)
         thresh = csort[0] * params.good_factor
+        # Padded slots sort to the tail (MAXCOST); taking the n_real
+        # smallest clamped entries reproduces the reference's sum over
+        # its n_real-entry cost vector exactly.
         csort = jnp.minimum(csort, thresh)
     else:
         raise NotImplementedError(f"cost_comb={params.cost_comb}")
@@ -269,4 +284,5 @@ def combine_view_costs(costs: jnp.ndarray, params: AlgorithmParams) -> jnp.ndarr
 def multiview_cost(scene: ScenePack, params: AlgorithmParams, parity: int,
                    n: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Full pmCostMultiview: per-view costs then combination. [H, W2]."""
-    return combine_view_costs(per_view_costs(scene, params, parity, n, d), params)
+    return combine_view_costs(per_view_costs(scene, params, parity, n, d),
+                              params, view_valid=scene.view_valid)

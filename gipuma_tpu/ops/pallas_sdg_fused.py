@@ -3,7 +3,7 @@
 Replaces the window_grads cost path's structure (ops/rect_cost.
 _rect_pair_cost_batch_sdg) of one row_gather_affine launch per extended
 window row with XLA arithmetic between launches.  The balance that made an
-earlier fused kernel (ops/pallas_rect_fused.py) a loss has flipped: with
+earlier fused kernel (pallas_rect_fused, deleted round 2) a loss has flipped: with
 bf16 tap packing + window-sample gradients the gather count is down to one
 word per sample, and profiling now shows the XLA cost arithmetic (weights,
 truncated color+gradient terms, accumulation — all round-tripping

@@ -34,9 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MAXCOST, AlgorithmParams
+from ..config import MAXCOST, AlgorithmParams, MatchingAlgorithm
 from . import checkerboard as cb
-from .cost import ScenePack, combine_view_costs
+from .cost import ScenePack, _census_bits, combine_view_costs
 from .pallas_rowgather import row_gather, row_gather_affine, row_gather_batch
 from .permute2d import permute2d
 
@@ -122,6 +122,10 @@ def rect_pair_cost(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     """
     ch, hr, wr = ref_chw.shape
     C = ch // 3
+    if params.algorithm == MatchingAlgorithm.CENSUS:
+        return _rect_pair_cost_batch_census(
+            ref_chw, src_chw, abc[None], params, interpret=interpret,
+            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks)[0]
     sch = src_chw.shape[0]
     if sch == C:
         # Packed image words only: the window_grads path (batch impl).
@@ -330,6 +334,72 @@ def _rect_pair_cost_batch_sdg(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
 
 
+def _rect_pair_cost_batch_census(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
+                                 abc_k: jnp.ndarray, params: AlgorithmParams,
+                                 interpret: bool = False,
+                                 disp_lo=None, disp_hi=None,
+                                 span_blocks: int | None = None
+                                 ) -> jnp.ndarray:
+    """Census-transform window cost on the rectified grid — the rect-path
+    `-a ct` equivalent of the exact engine's census (censusTransform_Arma_cu,
+    gipuma.cu:362-450): full window at increment 1, center excluded, cost =
+    number of differing 3-way sign-class bits between the reference window
+    (vs its center) and the warped source samples (vs the warped center).
+
+    Uses the same row-aligned gather machinery as the PM cost (one
+    row_gather launch per window row serves all K candidates x box_hsize
+    columns); channel means mirror the exact path's mean-intensity census.
+    """
+    ch, hr, wr = ref_chw.shape
+    K = abc_k.shape[0]
+    vr, hrad = params.box_vrad, params.box_hrad
+    eps = params.census_epsilon
+    packed = src_chw.dtype == jnp.int32
+    # Image channels only: [C] packed words (window_grads), the first C of
+    # [2C] packed (grad_fwd) or [3C] f32 channel layouts.
+    C = ch // 3
+    src_img = src_chw[:C]
+    ref_mean = jnp.mean(ref_chw[:C], axis=0)                   # [Hr, Wr]
+    ref_pad = jnp.pad(ref_mean, ((vr, vr), (hrad, hrad)), mode="edge")
+    src_pad = jnp.pad(src_img, ((0, 0), (vr, vr), (0, 0)), mode="edge")
+    d_lo = disp_lo if disp_lo is not None else jnp.float32(-1e9)
+    d_hi = disp_hi if disp_hi is not None else jnp.float32(1e9)
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hr, wr), 0)
+    xs_all = tuple(range(-hrad, hrad + 1))
+
+    def gather_row(dy: int, dxs: tuple):
+        src_rows = src_pad[:, vr + dy:vr + dy + hr, :]
+        if packed:
+            smp = row_gather_affine(src_rows, abc_k, dxs, jnp.float32(dy),
+                                    d_lo, d_hi, interpret=interpret,
+                                    max_span_blocks=span_blocks)
+            return jnp.mean(smp.reshape(K, len(dxs), C, hr, wr), axis=2)
+        dx_e = jnp.asarray(np.asarray(dxs, np.float32))
+        xse = xg[None, None] + dx_e[None, :, None, None]
+        disp = (abc_k[:, 0][:, None] * xse
+                + (abc_k[:, 1] * (yg + float(dy)) + abc_k[:, 2])[:, None])
+        disp = jnp.clip(disp, d_lo, d_hi)
+        xsrc = (xse - disp).reshape(K * len(dxs), hr, wr)
+        smp = row_gather_batch(src_rows, xsrc, interpret=interpret,
+                               max_span_blocks=span_blocks)
+        return jnp.mean(smp.reshape(K, len(dxs), C, hr, wr), axis=2)
+
+    # Warped center intensity (censusTransform_Arma_cu:429-430).
+    src_center = gather_row(0, (0,))[:, 0]                     # [K, Hr, Wr]
+    acc = jnp.zeros((K, hr, wr), jnp.float32)
+    for dy in range(-vr, vr + 1):
+        smp = gather_row(dy, xs_all)                           # [K, E, Hr, Wr]
+        for j, dx in enumerate(xs_all):
+            if dx == 0 and dy == 0:
+                continue   # center excluded (gipuma.cu:435-439)
+            ref_w = ref_pad[vr + dy:vr + dy + hr, hrad + dx:hrad + dx + wr]
+            bit_l = _census_bits(ref_mean, ref_w, eps)         # [Hr, Wr]
+            bit_r = _census_bits(src_center, smp[:, j], eps)   # [K, Hr, Wr]
+            acc = acc + (bit_l[None] != bit_r).astype(jnp.float32)
+    return jnp.where(jnp.isnan(acc) | (acc >= MAXCOST), MAXCOST, acc)
+
+
 def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
                          abc_k: jnp.ndarray, params: AlgorithmParams,
                          interpret: bool = False,
@@ -347,6 +417,10 @@ def rect_pair_cost_batch(ref_chw: jnp.ndarray, src_chw: jnp.ndarray,
     ch, hr, wr = ref_chw.shape
     K = abc_k.shape[0]
     C = ch // 3
+    if params.algorithm == MatchingAlgorithm.CENSUS:
+        return _rect_pair_cost_batch_census(
+            ref_chw, src_chw, abc_k, params, interpret=interpret,
+            disp_lo=disp_lo, disp_hi=disp_hi, span_blocks=span_blocks)
     sch = src_chw.shape[0]
     if sch == C:
         # Packed image words only: the window_grads path.
@@ -574,12 +648,12 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                            max_span_blocks=span_perm)      # [K3, Hrp, Wrp]
         m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
         abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
-        # NOTE: a fully-fused Pallas kernel (ops/pallas_rect_fused) was
-        # built and measured SLOWER than this path (89 ms vs 41 ms per
-        # view-eval at dino scale): profiling shows 96% of this path's time
-        # is the row_gather kernel itself (dynamic_gather instruction
-        # throughput); XLA fuses all the arithmetic between gather launches
-        # into negligible time, so there is nothing to fuse away.
+        # NOTE: on the window_grads default this dispatches into the fused
+        # window-cost kernel (ops/pallas_sdg_fused.py).  An earlier
+        # whole-cost fused kernel for the 3-channel layout measured SLOWER
+        # than unfused (89 vs 41 ms/view-eval; deleted round 2) — fusion
+        # only started winning once tap packing + window-sample gradients
+        # cut the gather count below the XLA glue cost.
         cost_rect = rect_pair_cost_batch(ref_r, src_r, abc, params,
                                          interpret=interpret,
                                          disp_lo=dbv[0], disp_hi=dbv[1],
@@ -607,7 +681,8 @@ def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
                         ) -> jnp.ndarray:
     """pmCostMultiview on the rectified fast path — engine cost_fn."""
     return combine_view_costs(
-        rect_per_view_costs(scene, params, parity, n, d), params)
+        rect_per_view_costs(scene, params, parity, n, d), params,
+        view_valid=scene.view_valid)
 
 
 def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
@@ -615,7 +690,8 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
                               ) -> jnp.ndarray:
     """Combined multiview cost for K stacked candidates: [K, H, W2]."""
     return combine_view_costs(
-        rect_per_view_costs_batch(scene, params, parity, n, d), params)
+        rect_per_view_costs_batch(scene, params, parity, n, d), params,
+        view_valid=scene.view_valid)
 
 
 # The engine (models/patchmatch._fold_better) uses the `batch` attribute to

@@ -45,13 +45,19 @@ def view_sharded_cost_fn(axis_name: str = "view",
                     else per_view_costs)
         local = per_view(scene, params, parity, n, d)         # [V_local, ...]
         full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
-        return combine_view_costs(full, params)
+        # GOOD needs the GLOBAL real-view count (gipuma.cu:785-786);
+        # the local scene only holds this shard's view_valid slice.
+        vv = jax.lax.all_gather(scene.view_valid, axis_name, axis=0,
+                                tiled=True)
+        return combine_view_costs(full, params, view_valid=vv)
 
     if rect:
         def cost_fn_batch(scene, params, parity, n, d):
             local = rect_per_view_costs_batch(scene, params, parity, n, d)
             full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
-            return combine_view_costs(full, params)
+            vv = jax.lax.all_gather(scene.view_valid, axis_name, axis=0,
+                                    tiled=True)
+            return combine_view_costs(full, params, view_valid=vv)
 
         cost_fn.batch = cost_fn_batch
     return cost_fn

@@ -163,3 +163,38 @@ def two_plane_scene(num_cams: int = 5, h: int = 64, w: int = 80,
             near_mask = use_near
     rig = build_rig(Ps)
     return images, rig, gt_depth, near_mask
+
+
+def plane_scene_for_rig(Ps, h: int, w: int, plane_depth: float,
+                        slant: tuple[float, float] = (0.0, 0.0),
+                        ref: int = 0):
+    """plane_scene for an ARBITRARY calibrated rig (e.g. the real DTU
+    camera geometry shipped with the reference, data/dtu/calib/*.P): render
+    the analytic texture plane placed `plane_depth` along the reference
+    camera's principal axis, normal tilted by `slant` in the reference
+    camera frame.
+
+    Returns (images [h,w] float32 list, gt_depth for camera `ref`,
+    (n_world, d_world)).
+    """
+    from ..geometry.camera import decompose_projection
+
+    P0 = np.asarray(Ps[ref], np.float64)
+    K0, R0, t0 = decompose_projection(P0)[:3]
+    M_inv = np.linalg.inv(P0[:, :3])
+    C0 = -M_inv @ P0[:, 3]
+    z = R0[2] / np.linalg.norm(R0[2])          # principal axis (world)
+    n_cam = np.array([slant[0], slant[1], 1.0])
+    n_cam /= np.linalg.norm(n_cam)
+    n = R0.T @ n_cam
+    point = C0 + plane_depth * z
+    d = -n @ point
+
+    tex_scale = 5.0 / plane_depth   # depth-normalized texture frequency
+    images, gt_depth = [], None
+    for i, P in enumerate(Ps):
+        X, depth = intersect_plane(np.asarray(P, np.float64), h, w, n, d)
+        images.append(texture_fn(X * tex_scale).astype(np.float32))
+        if i == ref:
+            gt_depth = depth.astype(np.float32)
+    return images, gt_depth, (n, d)

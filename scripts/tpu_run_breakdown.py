@@ -64,7 +64,7 @@ def main():
         tr = json.load(gzip.open(p))
         pid_dev = {e["pid"] for e in tr["traceEvents"]
                    if e.get("ph") == "M" and e.get("name") == "process_name"
-                   and "TPU" in str(e.get("args", {}).get("name", ""))
+                   and "/device:TPU" in str(e.get("args", {}).get("name", ""))
                    and "pid" in e}
         for e in tr["traceEvents"]:
             if e.get("ph") == "X" and e.get("pid") in pid_dev:

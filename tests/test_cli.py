@@ -57,3 +57,38 @@ def test_cli_distributed_resume_fuses_from_disk(tmp_path):
                       "--disp_thresh", "2.0", "--normal_thresh", "60"])
     assert rc == 0
     assert (out / "fused.ply").exists()
+
+
+def test_algorithm_flag_roundtrip():
+    """-a pm|ct maps to MatchingAlgorithm (reference main.cpp:225-241)."""
+    from gipuma_tpu.cli import build_parser, params_from_args
+    from gipuma_tpu.config import MatchingAlgorithm
+
+    args = build_parser().parse_args(["-a", "ct", "--census_epsilon", "3.0",
+                                      "x.png"])
+    p = params_from_args(args)
+    assert p.algorithm == MatchingAlgorithm.CENSUS
+    assert p.census_epsilon == 3.0
+    args = build_parser().parse_args(["-a", "pm", "x.png"])
+    assert params_from_args(args).algorithm == MatchingAlgorithm.PM
+    # default: PM
+    args = build_parser().parse_args(["x.png"])
+    assert params_from_args(args).algorithm == MatchingAlgorithm.PM
+
+
+def test_cli_census_end_to_end(tmp_path):
+    """-a ct end-to-end on the rect path: the census engine produces a
+    sane depth map via the CLI."""
+    from gipuma_tpu.io.dmb import read_dmb
+
+    names, pdir = _write_scene(tmp_path)
+    out = tmp_path / "res_ct"
+    rc = main(_flags(tmp_path, pdir, out) + names
+              + ["-a", "ct", "--cost_path", "rect"])
+    assert rc == 0
+    import os
+    sub = [d for d in os.listdir(out)][0]
+    d = np.asarray(read_dmb(out / sub / "cam000" / "disp.dmb"))
+    valid = d > 0
+    assert valid.mean() > 0.5
+    assert abs(np.median(d[valid]) - 5.0) < 1.0

@@ -152,6 +152,33 @@ def test_combine_all_and_good():
     assert float(combine_view_costs(costs, p_good)[0]) == pytest.approx(8.0 / 3.0)
 
 
+def test_combine_good_ignores_padded_views():
+    """GOOD divides by the REAL subset size (gipuma.cu:785-786): padded
+    view-sharding slots (view_valid = 0, cost MAXCOST) must change neither
+    the denominator nor the clamped sum."""
+    p_good = AlgorithmParams(cost_comb=CostCombination.GOOD, good_factor=1.5)
+    costs = jnp.asarray(np.array([[2.0], [4.0], [9.0]], np.float32))
+    unpadded = float(combine_view_costs(
+        costs, p_good, view_valid=jnp.ones(3, jnp.float32))[0])
+    assert unpadded == pytest.approx(8.0 / 3.0)
+
+    padded = jnp.concatenate(
+        [costs, jnp.full((2, 1), MAXCOST, jnp.float32)])
+    vv = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0], jnp.float32)
+    assert float(combine_view_costs(padded, p_good, view_valid=vv)[0]) == \
+        pytest.approx(unpadded)
+
+    # A REAL view at MAXCOST still counts in the denominator (the
+    # reference clamps it to the threshold and keeps numBest = subset
+    # size) — distinguishable from a padded slot only via view_valid.
+    costs4 = jnp.asarray(np.array([[2.0], [4.0], [9.0], [MAXCOST]],
+                                  np.float32))
+    vv4 = jnp.ones(4, jnp.float32)
+    # clamp to 3.0: (2 + 3 + 3 + 3) / 4
+    assert float(combine_view_costs(costs4, p_good, view_valid=vv4)[0]) == \
+        pytest.approx(11.0 / 4.0)
+
+
 def test_true_plane_has_low_cost(scene_setup):
     """The ground-truth plane must cost far less than a random plane."""
     images, rig, params, view_subset, scene = scene_setup

@@ -58,6 +58,35 @@ def test_fusion_num_consistent_monotone():
     assert sizes[0] >= sizes[1] >= sizes[2]
 
 
+def test_fusion_many_views_one_executable():
+    """DTU-scale view count (49): the traced-index fusion compiles ONE
+    executable and completes quickly; the fused cloud sits on the GT plane
+    and acc/comp against the GT cloud stay tight."""
+    import time
+
+    from gipuma_tpu.fusion import fuse as fuse_mod
+
+    depths, normals, Ps, (n, d) = make_gt_depthmaps(num_cams=49, h=48, w=64)
+    params = FusionParams(disp_thresh=0.5, normal_thresh=30.0,
+                          num_consistent=3)
+    t0 = time.perf_counter()
+    pts, nrm, _ = fuse_depthmaps(depths, normals, Ps, params, f=80.0)
+    dt = time.perf_counter() - t0
+    assert len(pts) > 1000
+    res = np.abs(pts @ n + d)
+    assert np.median(res) < 1e-3
+    # GT cloud = view 0's back-projected plane points.
+    from gipuma_tpu.fusion.fuse import _back_project_grid, _cam_arrays
+    M_inv, p4, _ = _cam_arrays(np.stack(Ps))
+    gt_pts = np.asarray(_back_project_grid(M_inv[0], p4[0],
+                                           depths[0])).reshape(-1, 3)
+    acc, comp = accuracy_completeness(pts, gt_pts, sample=2000)
+    assert acc < 0.05 and comp < 0.05
+    # One traced-index executable for all 49 views: re-tracing per view
+    # would blow this budget by an order of magnitude on CPU.
+    assert dt < 120.0
+
+
 def test_depth_error_metrics():
     gt = np.full((10, 10), 5.0)
     d = gt.copy()

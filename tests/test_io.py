@@ -152,3 +152,90 @@ def test_read_daisy(tmp_path):
     f.write_text("# comment\np " + " ".join(str(v) for v in range(12)) + "\n")
     P = calib.read_calib_file_daisy(f)
     np.testing.assert_array_equal(P, np.arange(12).reshape(3, 4))
+
+
+def _write_png(path, arr, depth):
+    """Minimal PNG encoder (filter 0) for round-trip tests of the raw
+    reader; arr uint [H,W] or [H,W,3]."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr)
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if depth == 16:
+        px = arr.astype(">u2").tobytes()
+    else:
+        px = arr.astype(np.uint8).tobytes()
+    stride = w * nch * depth // 8
+    raw = b"".join(b"\x00" + px[y * stride:(y + 1) * stride]
+                   for y in range(h))
+
+    def chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                           ctype, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw)))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_load_image_raw_16bit_png(tmp_path):
+    """imread(-1) analog: 16-bit grayscale and RGB PNGs keep their values
+    (PIL alone collapses 16-bit RGB; GT workflows need the raw values)."""
+    from gipuma_tpu.io.images import load_image_raw
+
+    rng = np.random.default_rng(0)
+    g16 = rng.integers(0, 65536, size=(7, 9), dtype=np.uint16)
+    _write_png(tmp_path / "g16.png", g16, 16)
+    np.testing.assert_array_equal(load_image_raw(tmp_path / "g16.png"),
+                                  g16.astype(np.float32))
+
+    c16 = rng.integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    _write_png(tmp_path / "c16.png", c16, 16)
+    np.testing.assert_array_equal(load_image_raw(tmp_path / "c16.png"),
+                                  c16.astype(np.float32))
+
+    c8 = rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8)
+    _write_png(tmp_path / "c8.png", c8, 8)
+    np.testing.assert_array_equal(load_image_raw(tmp_path / "c8.png"),
+                                  c8.astype(np.float32))
+
+
+def test_png_raw_filtered_rows(tmp_path):
+    """The raw decoder must agree with PIL on PNGs using real row filters
+    (PIL's encoder picks Sub/Up/Average/Paeth on natural images)."""
+    from PIL import Image
+
+    from gipuma_tpu.io.images import _read_png_raw
+
+    rng = np.random.default_rng(1)
+    base = np.cumsum(rng.integers(0, 3, size=(16, 20, 3)), axis=1)
+    img = (base % 256).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "f.png")
+    np.testing.assert_array_equal(_read_png_raw(str(tmp_path / "f.png")),
+                                  img)
+
+
+def test_decode_normal_map_16u(tmp_path):
+    """GT normal decode (main.cpp:800-817): n*32767+32767 round-trips to
+    unit normals; encoded-zero pixels stay (0,0,0)."""
+    from gipuma_tpu.io.images import decode_normal_map_16u, load_image_raw
+
+    n = np.zeros((5, 4, 3), np.float32)
+    n[..., 2] = 1.0
+    n[1, 1] = [0.6, 0.0, 0.8]
+    n[2, 2] = [-0.36, 0.48, 0.8]
+    enc = np.round(n * 32767 + 32767).astype(np.uint16)
+    enc[3, 3] = 32767   # encoded zero-normal
+    _write_png(tmp_path / "n.png", enc, 16)
+    dec = decode_normal_map_16u(load_image_raw(tmp_path / "n.png"))
+    np.testing.assert_allclose(dec[1, 1], [0.6, 0.0, 0.8], atol=1e-3)
+    np.testing.assert_allclose(dec[2, 2], [-0.36, 0.48, 0.8], atol=1e-3)
+    np.testing.assert_array_equal(dec[3, 3], [0.0, 0.0, 0.0])
+    assert np.allclose(np.linalg.norm(dec[0, 0]), 1.0, atol=1e-4)

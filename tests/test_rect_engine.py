@@ -19,8 +19,10 @@ def make_setup(slant=(0.0, 0.0), h=48, w=64, iterations=3, **overrides):
     images, rig, gt_depth, _ = plane_scene(
         num_cams=4, h=h, w=w, focal=100.0, plane_depth=5.0, slant=slant)
     depth_min, depth_max = 3.0, 8.0
+    overrides.setdefault("box_hsize", 9)
+    overrides.setdefault("box_vsize", 9)
     params = AlgorithmParams(
-        box_hsize=9, box_vsize=9, iterations=iterations, n_best=2,
+        iterations=iterations, n_best=2,
         seed=0, **overrides).with_depth_range(depth_min, depth_max, rig.f,
                                               FAKE_BASELINE)
     scene, info = build_rect_scene(images, rig, [1, 2, 3], params,
@@ -68,6 +70,48 @@ def test_recovers_plane_onesided_edges():
     frac_good = np.mean(err < 0.02)
     assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
                               f"median {np.median(err):.4f}")
+
+
+def test_census_cost_discriminates():
+    """The rect-path census cost (-a ct, _rect_pair_cost_batch_census) must
+    separate the true plane from a perturbed one — census is exposed on
+    the production TPU path, not just the exact engine."""
+    from gipuma_tpu.config import MatchingAlgorithm
+    from gipuma_tpu.geometry import transforms as T
+    from gipuma_tpu.ops import checkerboard as cb
+    from gipuma_tpu.ops.rect_cost import rect_multiview_cost_batch
+
+    # Cost-level gate (a full engine run at census's increment-1 window is
+    # ~5 min in interpret mode): the census rect cost must strongly favor
+    # the true plane over a perturbed one — the discrimination PatchMatch
+    # needs to converge.  End-to-end census coverage is the CLI test
+    # (tests/test_cli.py::test_cli_census_end_to_end).
+    import jax.numpy as jnp
+
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.1, 0.0), h=40, w=56,
+        box_hsize=7, box_vsize=7, algorithm=MatchingAlgorithm.CENSUS)
+    h, w = images[0].shape
+    w2 = w // 2
+    parity = 0
+    x = cb.active_x(h, w2, parity)
+    y = cb.active_y(h, w2)
+    # True plane in camera frame: n_cam from the slant, d via GT depth.
+    n_cam = np.array([0.1, 0.0, 1.0]) / np.linalg.norm([0.1, 0.0, 1.0])
+    n_true = jnp.broadcast_to(jnp.asarray(-n_cam, jnp.float32), (h, w2, 3))
+    gt_act = jnp.asarray(gt_depth)[cb.active_y(h, w2).astype(int),
+                                   x.astype(int)]
+    d_true = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_true, x, y,
+                                gt_act)
+    d_wrong = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_true, x, y,
+                                 gt_act * 1.12)
+    costs = np.asarray(rect_multiview_cost_batch(
+        scene, params, parity,
+        jnp.stack([n_true, n_true]), jnp.stack([d_true, d_wrong])))
+    interior = np.s_[8:-8, 8:-8]
+    c_true, c_wrong = costs[0][interior], costs[1][interior]
+    assert np.median(c_true) < 0.5 * np.median(c_wrong)
+    assert np.mean(c_true < c_wrong) > 0.9
 
 
 def test_drop_unsupported_view():
