@@ -114,6 +114,20 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
                                    axis=0)))
 
 
+# Compiled sharded runners cached by (mesh, params, scene treedef+shapes):
+# rebuilding the shard_map closure per call would RETRACE AND RECOMPILE the
+# whole program every invocation (measured ~20 s per call even at 48x64 on
+# CPU — the scaling harness and any batch loop would time compiles, not
+# compute).
+_SHARDED_CACHE: dict = {}
+
+
+def _scene_cache_key(mesh, params, tree, extra=()):
+    leaves, treedef = jax.tree.flatten(tree)
+    shapes = tuple((l.shape, str(l.dtype)) for l in leaves)
+    return (mesh, params, treedef, shapes) + tuple(extra)
+
+
 def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
                                 key, mesh: Mesh) -> PMState:
     """Single depth-map job with the source-view axis sharded over the
@@ -124,19 +138,24 @@ def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
         scene = pad_rect_scene_views(scene, nview)
     else:
         scene = pad_scene_views(scene, nview)
-    specs = _scene_specs(scene, batched=False)
-    state_spec = PMState(planes=P(), cost=P(), key=P())
-
     rect = isinstance(scene, RectScene)
 
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(specs, P()), out_specs=state_spec,
-        check_vma=False)
-    def _run(scene_local, key):
-        return run_patchmatch(scene_local, params, key,
-                              cost_fn=view_sharded_cost_fn(rect=rect))
+    ck = _scene_cache_key(mesh, params, scene, ("view1", rect))
+    fn = _SHARDED_CACHE.get(ck)
+    if fn is None:
+        specs = _scene_specs(scene, batched=False)
+        state_spec = PMState(planes=P(), cost=P(), key=P())
 
-    return _run(scene, key)
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(specs, P()),
+            out_specs=state_spec, check_vma=False)
+        def fn(scene_local, key):
+            return run_patchmatch(scene_local, params, key,
+                                  cost_fn=view_sharded_cost_fn(rect=rect))
+
+        _SHARDED_CACHE[ck] = fn
+    return fn(scene, key)
 
 
 def run_patchmatch_batch_sharded(scenes: ScenePack, params: AlgorithmParams,
@@ -149,18 +168,24 @@ def run_patchmatch_batch_sharded(scenes: ScenePack, params: AlgorithmParams,
     """
     nview = mesh.shape["view"]
     scenes = pad_scene_views_batched(scenes, nview)
-    specs = _scene_specs(scenes, batched=True)
-    state_spec = PMState(planes=P("job"), cost=P("job"), key=P("job"))
 
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(specs, P("job")), out_specs=state_spec,
-        check_vma=False)
-    def _run(scene_local, keys_local):
-        run = lambda sc, k: run_patchmatch(sc, params, k,
-                                           cost_fn=view_sharded_cost_fn())
-        return jax.vmap(run)(scene_local, keys_local)
+    ck = _scene_cache_key(mesh, params, scenes, ("batch",))
+    fn = _SHARDED_CACHE.get(ck)
+    if fn is None:
+        specs = _scene_specs(scenes, batched=True)
+        state_spec = PMState(planes=P("job"), cost=P("job"), key=P("job"))
 
-    return _run(scenes, keys)
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(specs, P("job")),
+            out_specs=state_spec, check_vma=False)
+        def fn(scene_local, keys_local):
+            run = lambda sc, k: run_patchmatch(
+                sc, params, k, cost_fn=view_sharded_cost_fn())
+            return jax.vmap(run)(scene_local, keys_local)
+
+        _SHARDED_CACHE[ck] = fn
+    return fn(scenes, keys)
 
 
 def stack_scenes(scenes: list[ScenePack]) -> ScenePack:

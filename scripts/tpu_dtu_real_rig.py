@@ -1,0 +1,124 @@
+"""Real-DTU-rig validation at full scale (VERDICT r1 #2).
+
+Loads the reference's in-tree DTU calibrations (data/dtu/calib/*.P — read
+at run time, never copied), renders realistic synthetic textures on the
+true 64-camera geometry, and runs the dtu_fast preset at 1600x1200:
+
+* asserts the rect fast path HOLDS (no exact-path fallback; ~zero views
+  dropped by rect_drop_unsupported_views; exact routing),
+* verifies view selection picks sane subsets for every reference view,
+* records DTU-scale MP/s + quality in BENCH form (one JSON line each).
+
+Usage (serialize with other TPU jobs):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_dtu_real_rig.py \
+      [--num_refs 3] [--scale 1.0] [--out DTU_REAL_RIG.json]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CALIB_DIR = "/root/reference/data/dtu/calib"
+PATTERN = "rect_0??_3_r5000.png.P"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_refs", type=int, default=3)
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--plane_depth", type=float, default=550.0)
+    ap.add_argument("--out", default="DTU_REAL_RIG.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from gipuma_tpu.config import PRESETS
+    from gipuma_tpu.geometry.camera import FAKE_BASELINE, build_rig
+    from gipuma_tpu.io.calib import read_P_file
+    from gipuma_tpu.models.pyramid import prepare_pyramid, run_pyramid
+    from gipuma_tpu.select import select_views
+    from gipuma_tpu.utils.synthetic import plane_scene_for_rig
+
+    files = sorted(glob.glob(os.path.join(CALIB_DIR, PATTERN)))
+    assert len(files) == 64, f"found {len(files)} calib files"
+    Ps_all = [read_P_file(f) for f in files]
+    s = args.scale
+    S = np.diag([s, s, 1.0])
+    h, w = int(1200 * s), int(1600 * s)
+    params0 = PRESETS["dtu_fast"].replace(cost_path="rect")
+
+    # 1) Selection sweep over ALL 64 reference choices (cheap, host-only).
+    sel_sizes = []
+    for ref in range(len(Ps_all)):
+        order = [ref] + [i for i in range(len(Ps_all)) if i != ref]
+        rig = build_rig([S @ Ps_all[i] for i in order],
+                        [str(i) for i in order])
+        subset, _, _ = select_views(rig, w, h, params0)
+        sel_sizes.append(len(subset))
+    sel_sizes = np.asarray(sel_sizes)
+    print(f"selection sweep: subset sizes min={sel_sizes.min()} "
+          f"median={int(np.median(sel_sizes))} max={sel_sizes.max()}")
+    assert (sel_sizes >= 2).all()
+
+    # 2) Full PatchMatch on the first --num_refs reference views.
+    records = []
+    for ref in range(args.num_refs):
+        order = [ref] + [i for i in range(len(Ps_all)) if i != ref]
+        Ps = [S @ Ps_all[i] for i in order]
+        names = [os.path.basename(files[i]) for i in order]
+        rig = build_rig(Ps, names)
+        subset, dmin, dmax = select_views(rig, w, h, params0)
+        params = params0.with_depth_range(dmin, dmax, rig.f, FAKE_BASELINE)
+        images, gt_depth, _ = plane_scene_for_rig(
+            Ps, h, w, args.plane_depth, slant=(0.15, -0.1))
+
+        t0 = time.time()
+        prep = prepare_pyramid(images, Ps, names, subset, params, dmin, dmax)
+        t_prep = time.time() - t0
+        # Rect path must hold: every level scene is a RectScene.
+        from gipuma_tpu.ops.rect_cost import RectScene
+        for scene, _, _, _ in prep:
+            assert isinstance(scene, RectScene), "exact-path fallback!"
+            assert int(np.sum(np.asarray(scene.view_valid))) >= \
+                len(subset) - 1, "more than one view dropped"
+
+        t0 = time.time()
+        depth = np.asarray(run_pyramid(prep, jax.random.PRNGKey(ref),
+                                       as_numpy=False)[0])
+        t_run = time.time() - t0
+        interior = np.s_[32:-32, 32:-32]
+        err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+        med = float(np.median(err))
+        rec = {"ref": ref, "h": h, "w": w, "views": len(subset),
+               "prep_s": round(t_prep, 2), "run_s": round(t_run, 2),
+               "mp_per_s": round(h * w / 1e6 / t_run, 4),
+               "median_rel_err": round(med, 6),
+               "frac_within_1pct": round(float(np.mean(err < 0.01)), 4)}
+        print(json.dumps(rec))
+        records.append(rec)
+
+    summary = {
+        "metric": "dtu-real-rig megapixel-depthmaps/s/chip",
+        "value": round(float(np.mean([r["mp_per_s"] for r in records])), 4),
+        "unit": "MP/s",
+        "scale": s,
+        "median_rel_err": float(np.median([r["median_rel_err"]
+                                           for r in records])),
+        "selection_sizes": sel_sizes.tolist(),
+        "runs": records,
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("metric", "value", "unit", "median_rel_err")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
