@@ -15,6 +15,7 @@ Prints exactly one JSON line.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -25,6 +26,17 @@ BASELINE_MP_PER_S = 0.3072 / 2.7   # 640x480 / 2.7 s (paper-era reference GPU)
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dispatch", choices=("host", "scan"), default=None,
+                    help="override level_dispatch for A/B runs")
+    ap.add_argument("--schedule", choices=("pyramid", "reference"),
+                    default="pyramid",
+                    help="reference = no pyramid, all 8 iterations at full "
+                         "resolution (the reference's own schedule, "
+                         "gipuma.cu:1911-1941)")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
     import jax
 
     from gipuma_tpu.config import PRESETS
@@ -47,6 +59,10 @@ def main() -> int:
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=1)
+    if args.schedule == "reference":
+        params = params.replace(pyramid_levels=1)
+    if args.dispatch is not None:
+        params = params.replace(level_dispatch=args.dispatch)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))
@@ -70,7 +86,7 @@ def main() -> int:
     err = np.abs(d[interior] - gt[interior]) / gt[interior]
     assert np.median(err) < 0.02, f"median rel err {np.median(err):.4f}"
 
-    reps = 2
+    reps = args.reps
     t0 = time.perf_counter()
     for i in range(reps):
         d = job(jax.random.PRNGKey(i + 1))

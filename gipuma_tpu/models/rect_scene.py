@@ -386,7 +386,11 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                 raise RectifyUnsupported(f"view {v}: {e}") from e
 
             lo_r, hi_r = rectified_bounds(rect.T_ref, w, h)
-            lo_s, hi_s = rectified_bounds(rect.T_src, w, h)
+            # Source footprint over the SOURCE image's own dims (they can
+            # differ from the reference's under band cropping,
+            # parallel/tiled_rect.py).
+            h_s, w_s = np.asarray(images[v]).shape[:2]
+            lo_s, hi_s = rectified_bounds(rect.T_src, w_s, h_s)
             # Rows: the reference footprint only (cost windows are centered
             # on reference pixels; rows the reference never reaches are
             # dead work).  Columns: the union (source samples land anywhere

@@ -46,6 +46,7 @@ as documented in ops/rect_cost.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,7 @@ def _unpack_taps(vp):
 
 def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                       ref_win, src_win, spl, gsc, sem_r, sem_s, *,
-                      C, K, BR, VR8, SE8, W, NB, SPAN, G,
+                      C, K, BR, VR8, SE8, W, NB, SPAN, TK, G,
                       XS_EXT, YS_EXT, XS_OFF, ROWS_C, ONESIDED, INC,
                       ALPHA, INV_GAMMA, TAU_COL, TAU_GRAD, GRAD_SCALE):
     i = pl.program_id(0)
@@ -165,6 +166,20 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                     (g * 128 + XS_EXT[0] - d_hi - 1.0) * (1.0 / 128.0)
                 ).astype(jnp.int32)
                 base = jnp.clip(bidx, 0, NB - SPAN) * 128
+                if TK < SPAN:
+                    # Unaligned window: the copy stays at the 128-aligned
+                    # `base` (Mosaic requires provable alignment), but a
+                    # dynamic lane roll re-origins the scratch at the EXACT
+                    # analytic base — the sample span then needs one fewer
+                    # 128-lane take per gather (the build-time span bound's
+                    # trailing +1 block existed only to absorb alignment,
+                    # models/rect_scene.py).
+                    bu_raw = jnp.floor(
+                        g * 128 + XS_EXT[0] - d_hi - 1.0).astype(jnp.int32)
+                    bu = jnp.clip(bu_raw, 0, W - TK * 128)
+                    shift = bu - base
+                else:
+                    bu = base
 
                 xse = [(xg0 + (g * 128 + int(dx))).astype(jnp.float32)
                        for dx in XS_EXT]
@@ -183,6 +198,15 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                     for c in range(C):
                         gsc[:, :] = src_win[c, pl.ds(SE8 + gi * 8 + dy, 8),
                                             pl.ds(base, SPAN * 128)]
+                        gv = gsc[:, :]
+                        if TK < SPAN:
+                            # POSITIVE shift only: Mosaic's device lowering
+                            # of a dynamic NEGATIVE lane roll disagrees
+                            # with jnp.roll/interpret semantics (probed
+                            # 2026-08-20: roll(x, -3) landed at lane 131);
+                            # the positive modulo equivalent matches
+                            # exactly on both.
+                            gv = pltpu.roll(gv, SPAN * 128 - shift, 1)
                         for k in range(K):
                             byc = bv[k] * (yv0 + float(dy)) + cv[k]
                             for e in range(E):
@@ -195,10 +219,10 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                                     0, W - 2)
                                 fx = jnp.clip(xx - x0i.astype(jnp.float32),
                                               0.0, 1.0)
-                                cl_all = x0i - base
+                                cl_all = x0i - bu
                                 vp = jnp.zeros((8, 128), jnp.int32)
-                                for b in range(SPAN):
-                                    blk = gsc[:, b * 128:(b + 1) * 128]
+                                for b in range(TK):
+                                    blk = gv[:, b * 128:(b + 1) * 128]
                                     cl = cl_all - b * 128
                                     g0 = jnp.take_along_axis(
                                         blk, jnp.clip(cl, 0, 127), axis=1)
@@ -259,11 +283,11 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "BR", "VR8", "SE8", "SPAN", "XS_EXT", "YS_EXT", "XS_OFF",
+    "C", "BR", "VR8", "SE8", "SPAN", "TK", "XS_EXT", "YS_EXT", "XS_OFF",
     "ROWS_C", "ONESIDED", "INC",
     "ALPHA", "INV_GAMMA", "TAU_COL", "TAU_GRAD", "GRAD_SCALE", "interpret"))
 def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
-                    C, BR, VR8, SE8, SPAN, XS_EXT, YS_EXT, XS_OFF,
+                    C, BR, VR8, SE8, SPAN, TK, XS_EXT, YS_EXT, XS_OFF,
                     ROWS_C, ONESIDED, INC,
                     ALPHA, INV_GAMMA, TAU_COL, TAU_GRAD, GRAD_SCALE,
                     interpret):
@@ -275,7 +299,8 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
     E = len(XS_EXT)
     kernel = functools.partial(
         _sdg_fused_kernel, C=C, K=K, BR=BR, VR8=VR8, SE8=SE8, W=W, NB=NB,
-        SPAN=SPAN, G=W // 128, XS_EXT=XS_EXT, YS_EXT=YS_EXT, XS_OFF=XS_OFF,
+        SPAN=SPAN, TK=TK, G=W // 128, XS_EXT=XS_EXT, YS_EXT=YS_EXT,
+        XS_OFF=XS_OFF,
         ROWS_C=ROWS_C, ONESIDED=ONESIDED,
         INC=INC, ALPHA=ALPHA, INV_GAMMA=INV_GAMMA, TAU_COL=TAU_COL,
         TAU_GRAD=TAU_GRAD, GRAD_SCALE=GRAD_SCALE)
@@ -335,6 +360,20 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     assert hrad + inc <= LANE_PAD and wr % 128 == 0
     nb = wr // 128
     span = nb if span_blocks is None else min(span_blocks, nb)
+    # Unaligned-base gather: the build-time span bound's trailing block
+    # exists only to absorb the scratch copy's 128-lane alignment
+    # (models/rect_scene.py span_sample).  A dynamic pltpu.roll re-origins
+    # the scratch at the exact analytic base, so each sample needs
+    # span - 1 takes — a ~1/3 cut of the kernel's dominant gather work at
+    # span 3.  Only valid when the unclamped bound fits the width (a
+    # clamped span covers the whole row and must keep every take).
+    # OPT-IN while the on-device win is being qualified
+    # (GIPUMA_FUSED_ROLL=1); interpret-mode output is bitwise equal to the
+    # aligned path either way.
+    use_roll = (span_blocks is not None and span_blocks <= nb
+                and span >= 2
+                and os.environ.get("GIPUMA_FUSED_ROLL") == "1")
+    tk = span - 1 if use_roll else span
     onesided = bool(getattr(params, "sdg_onesided_edges", False))
     vr8 = _round8(vr)
     se8 = _round8(vr + (0 if onesided else inc))
@@ -359,7 +398,6 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     # 37.3 ms steady; BR=16 133 s / 36.5 ms; BR=8 70 s / 39.0 ms.
     # Cap 3500 picks BR=16 at dino scale.  GIPUMA_FUSED_BR overrides for
     # experiments.
-    import os
     br_env = os.environ.get("GIPUMA_FUSED_BR")
     if br_env:
         br = int(br_env)
@@ -382,7 +420,7 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
 
     acc = _sdg_fused_call(
         ref_pad, src_pad, abc, db, hwv,
-        C=C, BR=br, VR8=vr8, SE8=se8, SPAN=span,
+        C=C, BR=br, VR8=vr8, SE8=se8, SPAN=span, TK=tk,
         XS_EXT=xs_ext, YS_EXT=ys_ext, XS_OFF=xs_off,
         ROWS_C=rows_c, ONESIDED=onesided, INC=inc,
         ALPHA=float(params.alpha), INV_GAMMA=1.0 / float(params.gamma),

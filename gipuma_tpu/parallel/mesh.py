@@ -20,20 +20,25 @@ from jax.sharding import Mesh
 
 
 def make_mesh(n_devices: int | None = None, view_shards: int | None = None,
-              max_view_shards: int = 4) -> Mesh:
-    """Factor available devices into a (job, view) mesh.
+              max_view_shards: int = 4, tile_shards: int = 1) -> Mesh:
+    """Factor available devices into a (job, tile, view) mesh.
 
     By default the view axis gets the largest divisor of n that is at most
     `max_view_shards` (the cost all-gather is cheap but the view axis is
-    short — usually <= 9 real views), and the job axis gets the rest.
+    short — usually <= 9 real views), the tile axis (image row bands,
+    parallel/tiled_rect.py — for images too large for one chip) defaults
+    to 1, and the job axis gets the rest.
     """
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
+    assert n % tile_shards == 0
+    nv_budget = n // tile_shards
     if view_shards is None:
-        view_shards = max(d for d in range(1, min(max_view_shards, n) + 1)
-                          if n % d == 0)
-    assert n % view_shards == 0
-    job = n // view_shards
-    arr = np.asarray(devices).reshape(job, view_shards)
-    return Mesh(arr, axis_names=("job", "view"))
+        view_shards = max(d for d in
+                          range(1, min(max_view_shards, nv_budget) + 1)
+                          if nv_budget % d == 0)
+    assert nv_budget % view_shards == 0
+    job = nv_budget // view_shards
+    arr = np.asarray(devices).reshape(job, tile_shards, view_shards)
+    return Mesh(arr, axis_names=("job", "tile", "view"))

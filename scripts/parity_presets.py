@@ -1,0 +1,45 @@
+"""Generate PARITY.md: exact-vs-rect error-budget table per preset.
+
+CPU (default; add the repo root AND the axon site to PYTHONPATH on TPU):
+
+    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python scripts/parity_presets.py
+    ... --scale full     # 480x640 rows (slow on CPU; fine on TPU)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=("small", "medium", "full"),
+                    default="medium")
+    ap.add_argument("--presets", nargs="*",
+                    default=["middlebury", "dtu_fast", "dtu_accurate"])
+    ap.add_argument("--out", default=str(ROOT / "PARITY.md"))
+    args = ap.parse_args()
+
+    from gipuma_tpu.eval.parity import format_markdown, run_preset_parity
+
+    shape = {"small": (96, 128), "medium": (192, 256),
+             "full": (480, 640)}[args.scale]
+    rows = []
+    for preset in args.presets:
+        r = run_preset_parity(preset, *shape)
+        rows.append(r)
+        print(json.dumps(r))
+
+    md = format_markdown(rows)
+    Path(args.out).write_text(md)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

