@@ -197,6 +197,23 @@ class AlgorithmParams:
     # level; the reference always runs full resolution.  1 = off.
     pyramid_levels: int = 1
     pyramid_fine_iterations: int = 2
+    # Fine-level (warm-started) schedule trims — the fine levels start
+    # from an already-converged coarse field, so parts of the reference's
+    # from-random schedule are redundant there.  Each trim is gated by the
+    # bench/test quality gates (tests/test_pyramid.py, bench.py):
+    # * pyramid_fine_far=False drops the far (±5) sweep at fine levels
+    #   (long-range diffusion already happened at coarse scale);
+    # * pyramid_fine_refine_rounds=N caps the fine-level refinement
+    #   schedule to its FIRST N (largest-radius) rounds, 0 = full;
+    # * pyramid_carry_cost=True upsamples the coarse cost field as the
+    #   fine level's initial cost instead of re-evaluating it (the window
+    #   cost is approximately scale-invariant; the first accepted sweep
+    #   candidate replaces it with an exact value).
+    pyramid_fine_far: bool = True
+    pyramid_fine_refine_rounds: int = 0
+    pyramid_carry_cost: bool = False
+    # Cap on refinement_schedule length (first N rounds), 0 = full.
+    refine_rounds_cap: int = 0
 
     @property
     def box_hrad(self) -> int:
@@ -230,6 +247,8 @@ class AlgorithmParams:
             out.append((delta_z, delta_n))
             delta_z /= self.refine_delta_z_div
             delta_n /= self.refine_delta_n_div
+        if self.refine_rounds_cap > 0:
+            out = out[:self.refine_rounds_cap]
         return out
 
     def with_depth_range(self, depth_min: float, depth_max: float,

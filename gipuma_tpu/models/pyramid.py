@@ -60,12 +60,18 @@ def _handoff_jit(cost_fn):
     from ..utils.checkpoint import _warm_start_impl
 
     def impl(state_c, scene_c, scene_f, params_f, key):
-        depth_c, n_world_c, _ = finalize(state_c, scene_c)
+        depth_c, n_world_c, cost_c = finalize(state_c, scene_c)
         h, w = scene_f.rays.shape[:2]
         depth_up = _up2_jnp(depth_c, h, w)
         normals_up = _up2_jnp(n_world_c, h, w)
+        # pyramid_carry_cost: reuse the (approximately scale-invariant)
+        # coarse window cost instead of re-evaluating the warm-start field
+        # — skips two K=1 multiview evaluations per fine level.
+        cost_up = (_up2_jnp(cost_c, h, w) if params_f.pyramid_carry_cost
+                   else None)
         return _warm_start_impl(scene_f, params_f, key, depth_up,
-                                normals_up, cost_fn=cost_fn)
+                                normals_up, cost_fn=cost_fn,
+                                cost_init=cost_up)
 
     return jax.jit(impl, static_argnames=("params_f",))
 
@@ -137,9 +143,17 @@ def prepare_pyramid(images: Sequence[np.ndarray],
         il = [ensure_even_width(im) for im in by_level[lvl]]
         rig_l = build_rig(P_matrices, names,
                           cam_scale=params.cam_scale * (2 ** lvl))
-        iters = (params.iterations if lvl == levels - 1
-                 else params.pyramid_fine_iterations)
-        params_l = params.replace(iterations=iters).with_depth_range(
+        if lvl == levels - 1:
+            params_l = params.replace(iterations=params.iterations)
+        else:
+            # Warm-started fine level: apply the (quality-gated) schedule
+            # trims — see config.pyramid_fine_*.
+            params_l = params.replace(
+                iterations=params.pyramid_fine_iterations,
+                far_propagation=(params.far_propagation
+                                 and params.pyramid_fine_far),
+                refine_rounds_cap=params.pyramid_fine_refine_rounds)
+        params_l = params_l.with_depth_range(
             depth_min, depth_max, rig_l.f, FAKE_BASELINE)
         prep_in.append((il, rig_l, params_l))
 

@@ -69,7 +69,8 @@ def warm_start(scene: ScenePack, params: AlgorithmParams, key,
 
 
 def _warm_start_impl(scene: ScenePack, params: AlgorithmParams, key,
-                     depth, normals_world, cost_fn=multiview_cost) -> PMState:
+                     depth, normals_world, cost_fn=multiview_cost,
+                     cost_init=None) -> PMState:
     h, w = scene.rays.shape[:2]
     x, y = T.pixel_grid(h, w)
 
@@ -90,6 +91,13 @@ def _warm_start_impl(scene: ScenePack, params: AlgorithmParams, key,
     d = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n, x, y, depth)
     planes = jnp.concatenate([n, d[..., None]], axis=-1)
 
+    if cost_init is not None:
+        # Carried-in approximate cost (e.g. the upsampled coarse level's,
+        # models/pyramid.py): invalid pixels get MAXCOST so the first
+        # sweep candidate repairs them.
+        from ..config import MAXCOST
+        cost = jnp.where(valid, cost_init.astype(planes.dtype), MAXCOST)
+        return PMState(planes=planes, cost=cost, key=key)
     cost = jnp.zeros((h, w), planes.dtype)
     for parity in (0, 1):
         c = cost_fn(scene, params, parity,

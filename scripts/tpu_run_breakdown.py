@@ -100,6 +100,17 @@ def main():
         before = [n for ts, dur, n in names_at if abs(ts + dur - at) < 50]
         print(f"  gap {g/1e3:8.2f} ms after {before[:2]}")
 
+    # Top device ops by total duration (aggregate over repeats).
+    agg: dict = {}
+    for _, dur, n in names_at:
+        a = agg.setdefault(n, [0.0, 0])
+        a[0] += dur
+        a[1] += 1
+    top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:24]
+    print("top device ops (total ms / calls):")
+    for n, (tot, cnt) in top:
+        print(f"  {tot/1e3:9.2f} ms {cnt:5d}x  {n[:100]}")
+
 
 if __name__ == "__main__":
     main()

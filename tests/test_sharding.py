@@ -40,7 +40,7 @@ def test_view_sharded_matches_single(setup):
     ref = run_patchmatch(scene, params, key)
 
     mesh = make_mesh(8, view_shards=4)
-    assert mesh.shape == {"job": 2, "view": 4}
+    assert mesh.shape == {"job": 2, "tile": 1, "view": 4}
     sharded = run_patchmatch_view_sharded(scene, params, key, mesh)
 
     np.testing.assert_allclose(np.asarray(sharded.cost), np.asarray(ref.cost),
