@@ -56,9 +56,13 @@ def main() -> int:
     # with 1 warm-started iteration per finer level (best point of the
     # scripts/tpu_sched_tune.py grid: quality equal to 2-level/2-iter —
     # median rel err 1.5e-3, 99.97% within 1% — at 1.7x the throughput).
+    # Fine-level trims (far-sweep drop, 2-round refinement, carried coarse
+    # cost): CPU-A/B'd quality-neutral (models/pyramid.py docstrings), and
+    # re-gated here at median rel err < 5e-3 before timing.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
-        pyramid_fine_iterations=1)
+        pyramid_fine_iterations=1, pyramid_fine_far=False,
+        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True)
     if args.schedule == "reference":
         params = params.replace(pyramid_levels=1)
     if args.dispatch is not None:
@@ -84,7 +88,10 @@ def main() -> int:
     assert np.isfinite(d).all()
     interior = np.s_[16:-16, 16:-16]
     err = np.abs(d[interior] - gt[interior]) / gt[interior]
-    assert np.median(err) < 0.02, f"median rel err {np.median(err):.4f}"
+    # Quality gate BEFORE timing (tightened round 2, VERDICT item 1): the
+    # metric must not reward schedule-shrinking below the reference-class
+    # accuracy (measured 1.5e-3 at this config).
+    assert np.median(err) < 5e-3, f"median rel err {np.median(err):.4f}"
 
     reps = args.reps
     t0 = time.perf_counter()
