@@ -177,10 +177,12 @@ class AlgorithmParams:
     rect_drop_unsupported_views: bool = True
     # Host-loop level dispatch granularity: "host" dispatches each sub-sweep
     # as its own executable (the reference's six-launch schedule); "scan"
-    # runs all iterations of a level as ONE device program (lax.scan over
-    # iterations x parity x axial distance, parity traced) — saves the
-    # ~13-15 ms/dispatch TPU-relay overhead (~0.9 s of a dino run) and
-    # compiles the same two Mosaic kernel instances.
+    # "scan" runs all iterations of a level as ONE device program (lax.scan
+    # over iterations x parity x axial distance, parity traced).  Measured
+    # EQUAL to "host" on the bench (0.368 vs 0.365 MP/s, round 2): async
+    # queueing already hides dispatch latency when only the final result is
+    # fetched (largest device gap in the trace: 0.19 ms).  "host" stays the
+    # default — same speed, cheaper compiles, per-sweep debuggability.
     level_dispatch: str = "host"
     # Evaluate all refinement rounds as ONE K-candidate batch generated
     # around the sweep's starting state instead of the reference's
