@@ -35,6 +35,9 @@ def main() -> int:
                          "resolution (the reference's own schedule, "
                          "gipuma.cu:1911-1941)")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--no_footprint_skip", action="store_true",
+                    help="A/B: disable the rect footprint tile skip "
+                         "(config.rect_footprint_skip)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,8 @@ def main() -> int:
         params = params.replace(pyramid_levels=1)
     if args.dispatch is not None:
         params = params.replace(level_dispatch=args.dispatch)
+    if args.no_footprint_skip:
+        params = params.replace(rect_footprint_skip=False)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

@@ -1,17 +1,27 @@
-"""Scaling-efficiency harness (VERDICT r1 #7): throughput of the `job`
-axis (data-parallel depth-map jobs — the pod-scale scan distribution) at
-1/2/4/... devices, reported as {n, mp_per_s, efficiency}.
+"""Scaling-efficiency harness (VERDICT r1 #7, honesty rework r3 — r2's
+artifact reported wall-clock "efficiency" on the virtual CPU mesh, where
+all devices share ONE XLA thread pool, so the number measured host-core
+contention, not sharding overhead).
 
-On CPU it uses the virtual-device mesh (XLA_FLAGS=
---xla_force_host_platform_device_count=8) to validate the harness; on
-real multi-chip hardware the same command measures true ICI/DCN scaling —
-the >=80%-at-4-hosts BASELINE claim becomes one invocation when a pod is
-available.  Prints one JSON line per device count plus a summary line.
+Two measures of the `job` axis (data-parallel depth-map jobs — the
+pod-scale scan distribution):
+
+* naive wall-clock efficiency: tput(n) / (n * tput(1)).  Meaningful ONLY
+  on real multi-chip hardware; on the CPU mesh it is dominated by thread-
+  pool contention and is emitted with an explicit `caveat`.
+* same-work overhead efficiency: t(n jobs on ONE device) / t(n jobs on n
+  devices).  Both sides run identical total work on identical compute
+  resources (the shared thread pool saturates both), so the ratio isolates
+  the SHARDING overhead (shard_map partitioning, collectives, launch
+  fan-out) — the quantity the virtual mesh can honestly measure.  1.0 =
+  sharding adds nothing; the >=80%-at-4-hosts BASELINE claim still needs a
+  real pod, where the naive measure becomes meaningful with one invocation.
 
 Usage:
   CPU mesh:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
                  python bench_scaling.py --counts 1,2,4,8
-  TPU:       PYTHONPATH=/root/repo:/root/.axon_site python bench_scaling.py
+  TPU n=1:   PYTHONPATH=/root/repo:/root/.axon_site python bench_scaling.py \
+                 --counts 1 --out BENCH_SCALING_TPU.json
 """
 from __future__ import annotations
 
@@ -55,6 +65,7 @@ def main() -> int:
     n_dev = len(jax.devices())
     counts = ([int(c) for c in args.counts.split(",")] if args.counts
               else [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev])
+    cpu_virtual = jax.default_backend() == "cpu"
 
     h, w = args.h, args.w
     images, rig, _, _ = plane_scene(num_cams=4, h=h, w=w, focal=140.0,
@@ -64,45 +75,64 @@ def main() -> int:
     ).with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
     scene = build_scene(images, rig, [1, 2, 3], params, 3.0, 8.0)
 
+    def timed_run(n_jobs: int, n_devices: int) -> float:
+        """Steady-state seconds per batch of n_jobs over n_devices."""
+        mesh = Mesh(np.asarray(jax.devices()[:n_devices]).reshape(
+            n_devices, 1), axis_names=("job", "view"))
+        scenes = stack_scenes([scene] * n_jobs)
+        keys = jax.random.split(jax.random.PRNGKey(0), n_jobs)
+        out = run_patchmatch_batch_sharded(scenes, params, keys, mesh)
+        jax.block_until_ready(out.cost)          # compile + warm
+        t0 = time.perf_counter()
+        for r in range(args.reps):
+            keys = jax.random.split(jax.random.PRNGKey(r + 1), n_jobs)
+            out = run_patchmatch_batch_sharded(scenes, params, keys, mesh)
+        np.asarray(out.cost)                     # force a real fetch
+        return (time.perf_counter() - t0) / args.reps
+
     results = []
     base_tput = None
     for n in counts:
         if n > n_dev:
             break
-        # Pure job-axis scaling: n independent depth-map jobs, one per
-        # device (view axis unsharded — its scaling is a fixed-cost
-        # all-gather measured separately in MULTICHIP runs).
-        mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n, 1),
-                    axis_names=("job", "view"))
-        scenes = stack_scenes([scene] * n)
-        keys = jax.random.split(jax.random.PRNGKey(0), n)
-        out = run_patchmatch_batch_sharded(scenes, params, keys, mesh)
-        jax.block_until_ready(out.cost)          # compile + warm
-        t0 = time.perf_counter()
-        for r in range(args.reps):
-            keys = jax.random.split(jax.random.PRNGKey(r + 1), n)
-            out = run_patchmatch_batch_sharded(scenes, params, keys, mesh)
-        np.asarray(out.cost)                     # force a real fetch
-        dt = (time.perf_counter() - t0) / args.reps
-        tput = n * h * w / 1e6 / dt              # jobs are whole depth maps
+        t_par = timed_run(n, n)
+        tput = n * h * w / 1e6 / t_par           # jobs are whole depth maps
         if base_tput is None:
             base_tput = tput
-        eff = tput / (base_tput * n)
         rec = {"n": n, "mp_per_s": round(tput, 4),
-               "per_device": round(tput / n, 4), "efficiency": round(eff, 4)}
+               "per_device": round(tput / n, 4),
+               "efficiency_wallclock": round(tput / (base_tput * n), 4)}
+        if n > 1:
+            # Same total work on one device: isolates sharding overhead
+            # from (CPU-mesh) thread-pool contention.
+            t_one = timed_run(n, 1)
+            rec["efficiency_samework"] = round(t_one / t_par, 4)
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
-    summary = {"metric": "job-axis scaling efficiency",
-               "backend": jax.default_backend(),
+    summary = {"metric": "job-axis scaling", "backend": jax.default_backend(),
                "shape": [h, w], "results": results}
+    if cpu_virtual:
+        summary["caveat"] = (
+            "virtual CPU mesh: all devices share one XLA thread pool, so "
+            "efficiency_wallclock measures host-core contention, NOT "
+            "sharding overhead — use efficiency_samework (t(n jobs, 1 dev) "
+            "/ t(n jobs, n dev); both sides saturate the same pool) for "
+            "the sharding-overhead signal; real >=80%-at-4-hosts evidence "
+            "requires a pod")
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     if len(results) > 1:
-        print(json.dumps({"metric": "scaling-efficiency",
-                          "value": results[-1]["efficiency"],
-                          "unit": f"x{results[-1]['n']}-devices",
-                          "vs_baseline": results[-1]["efficiency"] / 0.8}))
+        last = results[-1]
+        print(json.dumps({
+            "metric": "job-axis sharding-overhead efficiency"
+                      if cpu_virtual else "scaling-efficiency",
+            "value": last.get("efficiency_samework",
+                              last["efficiency_wallclock"]),
+            "unit": f"x{last['n']}-devices",
+            "vs_baseline": round(last.get(
+                "efficiency_samework",
+                last["efficiency_wallclock"]) / 0.8, 4)}))
     return 0
 
 

@@ -158,6 +158,50 @@ class AlgorithmParams:
     # them.  The XLA glue round-trips sample arrays through HBM and was
     # measured at ~50 ms/sweep vs ~39 ms of gathers at dino scale.
     fused_window_cost: bool = True
+    # With fused_window_cost: re-origin the scratch gather window at the
+    # exact (unaligned) analytic base via a dynamic pltpu.roll, dropping
+    # one 128-lane take per sample (span 3 -> 2 = 1/3 of the kernel's
+    # dominant gather work).  Measured only +1.5% end-to-end on v5e — a
+    # dynamic lane roll of the (8, span*128) scratch costs about as much
+    # as the take it saves — so OFF by default; kept as a tested config
+    # boolean (was the GIPUMA_FUSED_ROLL env var, round 2) for hardware
+    # where the roll is cheaper.  Interpret-mode output is bitwise equal
+    # either way (tests/test_sdg_fused.py).
+    fused_roll: bool = False
+    # Fused-kernel row-block height override (0 = auto).  The auto rule
+    # picks the largest BR in {32, 16, 8} whose double-buffered blocks fit
+    # ~6 MB of VMEM AND whose unrolled gather-body count stays under ~3500
+    # (Mosaic compile time grows superlinearly with the unroll; measured
+    # BR=32 586 s compile / 37.3 ms steady vs BR=16 133 s / 36.5 ms at
+    # dino-L1 shapes — scripts/tpu_fused_br_ab.py).  Was the
+    # GIPUMA_FUSED_BR env var (round 2); a config field keeps kernel
+    # variants visible to results.txt provenance.
+    fused_block_rows: int = 0
+    # Skip fused-kernel work on [8, 128] rect tiles holding no read-back
+    # target (models/rect_scene.py builds a per-view tile mask from the
+    # return-permutation target set): the rect window is the BBOX of the
+    # footprint quad, and for tilted (sheared/rotated) pairs the empty
+    # bbox triangles + the source-footprint column margin are ~half the
+    # grid (ring-rig tilted views measured 2.44x image pixels of bbox vs
+    # ~1.21x of footprint).  Cost semantics are unchanged — skipped tiles'
+    # outputs are unspecified and never addressed by the read-back tables
+    # (the same contract as the per-view extent skip).
+    rect_footprint_skip: bool = True
+    # Rect-table slope target: the (rotated-)reference -> rect map must
+    # keep slopes >= this in both table directions (at the 2% quantile)
+    # for the nearest-neighbor 2-pass routing to be contention-free; the
+    # build supersamples rows/columns (c_scale / a_scale) up to the
+    # target.  Lower values supersample less — less kernel work per image
+    # pixel — and lean on the routing-exactness budget below instead (the
+    # build retries with inflated scales whenever the measured bad
+    # fraction exceeds the budget, so quality is still gated per pair).
+    rect_slope_req: float = 1.05
+    # Max fraction of pixels allowed inexact plane routing (duplicate /
+    # contended table slots -> those pixels read a NEIGHBOR pixel's
+    # candidate cost during sweeps).  Verified at table build; exceeding
+    # it retries with inflated supersampling, then drops the view
+    # (rect_drop_unsupported_views) or falls back to the exact path.
+    rect_routing_budget: float = 0.005
     # Rect-path disparity clamp margin (px) beyond the depth-range-induced
     # disparity interval; admits slanted-window extrapolation at window
     # edges (reach ~(hrad+inc) px x |disparity slope| <~ 0.75 => ~8 px

@@ -332,7 +332,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         # corners would otherwise blow the supersampling factor for the
         # whole window; the few corner pixels whose slopes stay < 1 are
         # counted against the routing-exactness budget below instead.
-        slope_req = 1.05
+        slope_req = float(getattr(params, "rect_slope_req", 1.05))
+        routing_budget = float(getattr(params, "rect_routing_budget", 0.005))
         scale_cap = 2.5
         du, dv, dyr = _map_slopes(rect.T_ref, k_rot, h, w)
         c_scale = float(np.clip(
@@ -484,7 +485,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             n_bad_fwd = int(fwd.affected[tgt].sum())
 
             bad_frac = (n_dup + n_bad_ret + n_bad_fwd) / max(n_valid, 1)
-            if bad_frac <= 0.005:
+            if bad_frac <= routing_budget:
                 built = (rect, lo, hr, wr, in_ref, orig_ok, fwd, ret,
                          tgt, bad_frac)
                 break
@@ -560,13 +561,27 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                 "blocks per tile (map too distorted for the "
                 "scratch-window gather)")
 
+        # Per-[8, 128]-tile read-back-target mask: the fused kernel skips
+        # tiles with no target (the empty bbox triangles of a tilted
+        # footprint quad + the source-footprint column margin).  The
+        # return permutation only addresses target coordinates
+        # (ops/permute2d.py), so skipped tiles are never read.
+        hp8 = _round_up(hr, 8)
+        tgt_p = np.zeros((hp8, wr), bool)
+        tgt_p[:hr] = tgt
+        tile_ok = tgt_p.reshape(hp8 // 8, 8, wr // 128, 128).any(
+            axis=(1, 3)).astype(np.int32)
+
         pair = (ref_rect, src_rect, L_local, fwd, ret, hr, wr,
-                k_rot, (d_lo, d_hi))
+                k_rot, (d_lo, d_hi), tile_ok)
         pinfo = {
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "scales": (round(a_scale, 3), round(b_shear, 3),
                        round(c_scale, 3)),
             "span_perm": span_p,
+            # Fraction of rect tiles holding read-back targets (the fused
+            # kernel evaluates only these under rect_footprint_skip).
+            "tile_ok_frac": float(tile_ok.mean()),
             # Plane-routing exactness, verified at build (<= 0.5%).
             "routing_bad_frac": bad_frac,
             "fwd_affected_frac": float(fwd.affected[tgt].mean()),
@@ -604,7 +619,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                  np.zeros((3, 3)),
                  build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
                  build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
-                 0, 128, 0, (0.0, 1.0))
+                 0, 128, 0, (0.0, 1.0), np.zeros((1, 1), np.int32))
         built_pairs = [(p if p is not None else dummy, pi)
                        for p, pi in built_pairs]
         vv = np.asarray(base.view_valid).copy()
@@ -681,6 +696,13 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # measured ~16% of sweep work at dino scale).
     hw_valid = jnp.asarray(np.asarray([(p[5], p[6]) for p in per_pair],
                                       np.int32))
+    # Per-view tile target mask, zero-padded to the common tile grid
+    # (zeros = skip; dummy/dropped views therefore do zero tile work).
+    tm_np = np.zeros((len(per_pair), hrp // 8, wrp // 128), np.int32)
+    for i, p in enumerate(per_pair):
+        t9 = p[9]
+        tm_np[i, :t9.shape[0], :t9.shape[1]] = t9
+    tile_ok = jnp.asarray(tm_np)
 
     # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
     # sampling span = tile width (128) + window reach (±hrad, plus the
@@ -701,7 +723,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,
                       fwd_c1=fwd_c1, fwd_r=fwd_r, ret_c1=ret_c1, ret_r=ret_r,
                       rot_k=rot_k, disp_bounds=disp_bounds, spans=spans,
-                      hw_valid=hw_valid)
+                      hw_valid=hw_valid, tile_ok=tile_ok)
     info["rect_shape_padded"] = (hrp, wrp)
     info["spans"] = (span_sample, span_perm)
     return scene, info

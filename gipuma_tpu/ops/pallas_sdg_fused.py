@@ -46,7 +46,6 @@ as documented in ops/rect_cost.py.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +70,7 @@ def _unpack_taps(vp):
     return v0, v1
 
 
-def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
+def _sdg_fused_kernel(db, hwv, tm, ref_hbm, src_hbm, abc_ref, o_ref,
                       ref_win, src_win, spl, gsc, sem_r, sem_s, *,
                       C, K, BR, VR8, SE8, W, NB, SPAN, TK, G,
                       XS_EXT, YS_EXT, XS_OFF, ROWS_C, ONESIDED, INC,
@@ -148,7 +147,16 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
         # than keeping K tile-pairs live across the g loop).
         for g in range(G):
             cols = pl.ds(g * 128, 128)
-            @pl.when((row0 + gi * 8 < hwv[0]) & (g * 128 < hwv[1]))
+            # Footprint tile skip (tm = [8-row, 128-col]-tile target mask):
+            # rect windows are the BBOX of a tilted footprint quad, and the
+            # empty bbox triangles hold no read-back targets — the 2-pass
+            # return permutation only ever addresses target coordinates
+            # (ops/permute2d.py), so tiles without targets can skip all
+            # work, same contract as the hw_valid extent skip (outputs
+            # there are unspecified).  Measured 2.44x -> ~1.2x evaluated
+            # px/image px on the tilted views of a ring rig.
+            @pl.when((row0 + gi * 8 < hwv[0]) & (g * 128 < hwv[1])
+                     & (tm[i * (BR // 8) + gi, g] > 0))
             def _valid_tile():
                 av = [abc_ref[k, 0, rows, cols] for k in range(K)]
                 bv = [abc_ref[k, 1, rows, cols] for k in range(K)]
@@ -177,7 +185,13 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                     bu_raw = jnp.floor(
                         g * 128 + XS_EXT[0] - d_hi - 1.0).astype(jnp.int32)
                     bu = jnp.clip(bu_raw, 0, W - TK * 128)
-                    shift = bu - base
+                    # shift == 0 (exact base already 128-aligned) must roll
+                    # by 0, NOT by the full lane width SPAN*128 — full-width
+                    # dynamic rolls are in the same unverified class as the
+                    # negative-shift Mosaic mis-lowering below.
+                    shift_raw = bu - base
+                    shift = jnp.where(shift_raw > 0,
+                                      SPAN * 128 - shift_raw, 0)
                 else:
                     bu = base
 
@@ -204,9 +218,9 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
                             # of a dynamic NEGATIVE lane roll disagrees
                             # with jnp.roll/interpret semantics (probed
                             # 2026-08-20: roll(x, -3) landed at lane 131);
-                            # the positive modulo equivalent matches
-                            # exactly on both.
-                            gv = pltpu.roll(gv, SPAN * 128 - shift, 1)
+                            # `shift` above is the positive modulo
+                            # equivalent (0 stays 0).
+                            gv = pltpu.roll(gv, shift, 1)
                         for k in range(K):
                             byc = bv[k] * (yv0 + float(dy)) + cv[k]
                             for e in range(E):
@@ -286,7 +300,7 @@ def _sdg_fused_kernel(db, hwv, ref_hbm, src_hbm, abc_ref, o_ref,
     "C", "BR", "VR8", "SE8", "SPAN", "TK", "XS_EXT", "YS_EXT", "XS_OFF",
     "ROWS_C", "ONESIDED", "INC",
     "ALPHA", "INV_GAMMA", "TAU_COL", "TAU_GRAD", "GRAD_SCALE", "interpret"))
-def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
+def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, tm, *,
                     C, BR, VR8, SE8, SPAN, TK, XS_EXT, YS_EXT, XS_OFF,
                     ROWS_C, ONESIDED, INC,
                     ALPHA, INV_GAMMA, TAU_COL, TAU_GRAD, GRAD_SCALE,
@@ -310,6 +324,7 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # db = (lo, hi)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # hwv = (rows, cols)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tm = tile target mask
             pl.BlockSpec(memory_space=pltpu.HBM),    # ref_pad
             pl.BlockSpec(memory_space=pltpu.HBM),    # src_pad
             pl.BlockSpec((K, 3, BR, W), lambda i: (0, 0, i, 0)),
@@ -325,7 +340,7 @@ def _sdg_fused_call(ref_pad, src_pad, abc, db, hwv, *,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(db, hwv, ref_pad, src_pad, abc)
+    )(db, hwv, tm, ref_pad, src_pad, abc)
 
 
 def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
@@ -333,7 +348,7 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
                          interpret: bool = False,
                          disp_lo=None, disp_hi=None,
                          span_blocks: int | None = None,
-                         hw_valid=None) -> jnp.ndarray:
+                         hw_valid=None, tile_ok=None) -> jnp.ndarray:
     """Fused window_grads cost for K candidates of one rectified pair.
 
     ref_chw: [3C, Hr, Wr] rectified reference channels (img, gx, gy with
@@ -346,10 +361,16 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     hw_valid: optional traced int32 [2] = (valid rows, valid cols) of this
         view's rect window inside the common padded [Hr, Wr] — row blocks
         and column groups beyond it are skipped in-kernel (their output is
-        unspecified; callers' read-back tables never address them).
+        unspecified; callers' read-back tables never address them);
+    tile_ok: optional traced int32 [ceil(Hr/8), Wr/128] per-[8, 128]-tile
+        read-back-target mask (models/rect_scene.py builds it from the
+        return-permutation target set) — tiles with no target skip all
+        compute (unspecified output), cutting the empty bbox triangles of
+        tilted footprint quads.
 
-    Returns [K, Hr, Wr] window costs, elementwise-equal to
-    rect_cost._rect_pair_cost_batch_sdg on the affine path.
+    Returns [K, Hr, Wr] window costs; at hw_valid/tile_ok-covered pixels,
+    elementwise-equal to rect_cost._rect_pair_cost_batch_sdg on the
+    affine path.
     """
     ch, hr, wr = ref_chw.shape
     C = ch // 3
@@ -367,12 +388,12 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     # span - 1 takes — a ~1/3 cut of the kernel's dominant gather work at
     # span 3.  Only valid when the unclamped bound fits the width (a
     # clamped span covers the whole row and must keep every take).
-    # OPT-IN while the on-device win is being qualified
-    # (GIPUMA_FUSED_ROLL=1); interpret-mode output is bitwise equal to the
-    # aligned path either way.
+    # OPT-IN via config.fused_roll (measured only +1.5% end-to-end on
+    # v5e); interpret-mode output is bitwise equal to the aligned path
+    # either way.
     use_roll = (span_blocks is not None and span_blocks <= nb
                 and span >= 2
-                and os.environ.get("GIPUMA_FUSED_ROLL") == "1")
+                and bool(getattr(params, "fused_roll", False)))
     tk = span - 1 if use_roll else span
     onesided = bool(getattr(params, "sdg_onesided_edges", False))
     vr8 = _round8(vr)
@@ -396,12 +417,10 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
     # run faster.  Measured at dino-L1 shapes (scripts/tpu_fused_br_ab.py,
     # bitwise-identical outputs): BR=32 (6144 bodies) 586 s compile /
     # 37.3 ms steady; BR=16 133 s / 36.5 ms; BR=8 70 s / 39.0 ms.
-    # Cap 3500 picks BR=16 at dino scale.  GIPUMA_FUSED_BR overrides for
-    # experiments.
-    br_env = os.environ.get("GIPUMA_FUSED_BR")
-    if br_env:
-        br = int(br_env)
-    else:
+    # Cap 3500 picks BR=16 at dino scale.  config.fused_block_rows
+    # overrides for experiments.
+    br = int(getattr(params, "fused_block_rows", 0) or 0)
+    if br <= 0:
         br = 32
         while br > 8 and (2 * (K * 3 + K) * br * wr * 4 > 6 << 20
                           or (br // 8) * nb * len(ys_ext) * K * E > 3500):
@@ -417,9 +436,16 @@ def fused_sdg_cost_batch(ref_chw: jnp.ndarray, src_packed: jnp.ndarray,
                     jnp.asarray(disp_hi, jnp.float32)])
     hwv = (jnp.asarray([hr, wr], jnp.int32) if hw_valid is None
            else jnp.asarray(hw_valid, jnp.int32))
+    ht = (hr + pad_r) // 8
+    if tile_ok is None:
+        tm = jnp.ones((ht, nb), jnp.int32)
+    else:
+        tm = jnp.asarray(tile_ok, jnp.int32)
+        assert tm.shape[1] == nb and tm.shape[0] * 8 >= hr, tm.shape
+        tm = jnp.pad(tm, ((0, ht - tm.shape[0]), (0, 0)))
 
     acc = _sdg_fused_call(
-        ref_pad, src_pad, abc, db, hwv,
+        ref_pad, src_pad, abc, db, hwv, tm,
         C=C, BR=br, VR8=vr8, SE8=se8, SPAN=span, TK=tk,
         XS_EXT=xs_ext, YS_EXT=ys_ext, XS_OFF=xs_off,
         ROWS_C=rows_c, ONESIDED=onesided, INC=inc,

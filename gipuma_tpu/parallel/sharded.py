@@ -82,7 +82,9 @@ def _scene_specs(scene, batched: bool):
                           fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
                           rot_k=view, disp_bounds=view, spans=base,
                           hw_valid=(None if scene.hw_valid is None
-                                    else view))
+                                    else view),
+                          tile_ok=(None if scene.tile_ok is None
+                                   else view))
     return specs
 
 
@@ -105,13 +107,21 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
                      ret_c1=pad0(scene.ret_c1), ret_r=pad0(scene.ret_r),
                      rot_k=pad0(scene.rot_k),
                      disp_bounds=pad0(scene.disp_bounds), spans=scene.spans,
-                     # Padded dummy views do ZERO kernel work (extent 0);
-                     # their costs are garbage and masked by view_valid = 0.
+                     # Padded dummy views do ZERO kernel work (extent 0,
+                     # all tiles masked off); their costs are garbage and
+                     # masked by view_valid = 0.
                      hw_valid=(None if scene.hw_valid is None else
                                jnp.concatenate(
                                    [scene.hw_valid,
                                     jnp.zeros((target - V, 2), jnp.int32)],
-                                   axis=0)))
+                                   axis=0)),
+                     tile_ok=(None if scene.tile_ok is None else
+                              jnp.concatenate(
+                                  [scene.tile_ok,
+                                   jnp.zeros((target - V,)
+                                             + scene.tile_ok.shape[1:],
+                                             scene.tile_ok.dtype)],
+                                  axis=0)))
 
 
 # Compiled sharded runners cached by (mesh, params, scene treedef+shapes):

@@ -97,11 +97,16 @@ def _repad_rect(scene: RectScene, hrp: int, wrp: int) -> RectScene:
     def zpad(a):
         return jnp.pad(a, ((0, 0), (0, 0), (0, dh), (0, dw)))
 
+    tile_ok = scene.tile_ok
+    if tile_ok is not None:
+        tile_ok = jnp.pad(tile_ok, ((0, 0), (0, (hrp - h0) // 8),
+                                    (0, (wrp - w0) // 128)))
     return scene._replace(
         ref_rect=zpad(scene.ref_rect), src_rect=zpad(scene.src_rect),
         fwd_c1=jnp.pad(scene.fwd_c1, ((0, 0), (0, 0), (0, dw)), mode="edge"),
         fwd_r=jnp.pad(scene.fwd_r, ((0, 0), (0, dh), (0, dw)), mode="edge"),
-        ret_c1=jnp.pad(scene.ret_c1, ((0, 0), (0, dh), (0, 0)), mode="edge"))
+        ret_c1=jnp.pad(scene.ret_c1, ((0, 0), (0, dh), (0, 0)), mode="edge"),
+        tile_ok=tile_ok)
 
 
 class TiledRectPrep(NamedTuple):
@@ -118,23 +123,50 @@ class TiledRectPrep(NamedTuple):
     info: list
 
 
+def required_band_margin(params: AlgorithmParams) -> int:
+    """Minimum legal band overlap (rows per side), even: covers the far
+    propagation reach (5 px + 1) AND the rect cost window's vertical read
+    reach across the band seam — box_vrad plus the window_grads extension
+    ring (window_increment) — so seam-pixel windows never read band-edge-
+    replicated rect imagery (dtu_accurate box 25 needs 14, not 6)."""
+    reach = params.box_vrad + (params.window_increment
+                               if params.window_grads else 0)
+    m = max(6, reach)
+    return m + (m % 2)
+
+
+def choose_banding(h: int, w: int, n_tiles: int,
+                   params: AlgorithmParams) -> tuple[int, int]:
+    """Legal (n_tiles, margin) for an [h, w] reference image: the band
+    margin from `required_band_margin`, and the requested tile count
+    (bands taller than wide are supported — the square permute grid side
+    is max(band_h, w); portrait 4K inputs at small tile counts just pay a
+    larger grid, they no longer hit an assert)."""
+    return n_tiles, required_band_margin(params)
+
+
 def prepare_tiled_rect(images: Sequence[np.ndarray], rig: Rig,
                        view_subset: Sequence[int], params: AlgorithmParams,
                        depth_min: float, depth_max: float, n_tiles: int,
-                       margin: int = 6) -> TiledRectPrep:
+                       margin: int | None = None) -> TiledRectPrep:
     """Build per-band rectified scenes for `n_tiles` row bands.
 
     The image height is padded (edge rows) to a band multiple — no
-    H % n == 0 requirement; the stitched output is cropped back."""
-    assert margin % 2 == 0 and margin >= 6, \
-        "margin must be even (checkerboard parity) and >= far reach + 1"
+    H % n == 0 requirement; the stitched output is cropped back.
+    margin=None derives the band overlap from the params (propagation +
+    cost-window reach, `required_band_margin`)."""
+    req = required_band_margin(params)
+    if margin is None:
+        margin = req
+    assert margin % 2 == 0 and margin >= req, \
+        (f"margin {margin} must be even (checkerboard parity) and >= {req} "
+         f"(max of far-propagation reach 6 and the rect cost window's "
+         f"vertical read reach box_vrad+window_increment across the seam)")
     ref = np.asarray(images[0], np.float32)
     h, w = ref.shape[:2]
     h_loc = -(-h // n_tiles)
     h_loc += h_loc % 2
     h_pad = h_loc * n_tiles
-    assert w >= h_loc + 2 * margin, \
-        "bands must be wider than tall (shared square permute grid)"
     if h_pad != h:
         ref = np.concatenate(
             [ref, np.repeat(ref[-1:], h_pad - h, axis=0)], axis=0)
@@ -142,6 +174,12 @@ def prepare_tiled_rect(images: Sequence[np.ndarray], rig: Rig,
 
     full_base = build_scene(imgs, rig, list(view_subset), params,
                             depth_min, depth_max, lite=True)
+    # global_h stays the ORIGINAL h: when H % n_tiles != 0, candidates in
+    # the replicated banding-pad rows (y in [h, h_pad)) must fail the
+    # propagation y <= global_h - 1 check exactly like single-device
+    # bottom-edge candidates (the pack was built on the padded image, so
+    # build_scene recorded h_pad).
+    full_base = full_base._replace(global_h=jnp.asarray(h, jnp.int32))
 
     bands, infos = [], []
     for b in range(n_tiles):
@@ -210,7 +248,8 @@ def _tiled_specs(scene: RectScene, tile_axis: str, view_axis: str):
     return RectScene(base=pack, ref_rect=view, src_rect=view, L=view,
                      fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
                      rot_k=view, disp_bounds=view, spans=base,
-                     hw_valid=view)
+                     hw_valid=view,
+                     tile_ok=None if scene.tile_ok is None else view)
 
 
 def run_patchmatch_tiled_rect(prep: TiledRectPrep, key, mesh: Mesh,

@@ -94,9 +94,18 @@ def _warm_start_impl(scene: ScenePack, params: AlgorithmParams, key,
     if cost_init is not None:
         # Carried-in approximate cost (e.g. the upsampled coarse level's,
         # models/pyramid.py): invalid pixels get MAXCOST so the first
-        # sweep candidate repairs them.
+        # sweep candidate repairs them.  The carried value is inflated 5%:
+        # sweeps accept only strictly-better candidates, so a carried
+        # UNDERestimate would permanently reject re-evaluation and leave
+        # the reported cost stale/optimistic (it feeds fusion confidence);
+        # with the inflation the first same-quality exact evaluation is
+        # accepted and the state cost regains exact semantics.  Pixels the
+        # first sweeps never repair keep an approximate (inflated) cost —
+        # finalize's cost output is approximate to that extent under
+        # pyramid_carry_cost.
         from ..config import MAXCOST
-        cost = jnp.where(valid, cost_init.astype(planes.dtype), MAXCOST)
+        cost = jnp.where(valid, 1.05 * cost_init.astype(planes.dtype),
+                         MAXCOST)
         return PMState(planes=planes, cost=cost, key=key)
     cost = jnp.zeros((h, w), planes.dtype)
     for parity in (0, 1):

@@ -117,6 +117,58 @@ def test_fused_sdg_hw_valid_masking():
     np.testing.assert_array_equal(got[:, :hv, :wv], full[:, :hv, :wv])
 
 
+@pytest.mark.parametrize("d_hi,onesided,span", [
+    (40.0, False, 3),
+    (40.0, True, 3),
+    # d_hi == 125 makes the analytic base of column group g=1 exactly
+    # 128-aligned (shift_raw == 0) on the onesided layout (XS_EXT[0] ==
+    # -hrad == -2 at box 5): the roll amount must then be 0, never the
+    # full lane width SPAN*128 (unverified dynamic-roll class on v5e).
+    # The [-20, 125] disparity range needs the honest span bound 4 — the
+    # roll path has no right-edge clamp slack to hide an understated span.
+    (125.0, True, 4),
+])
+def test_fused_roll_matches_aligned(d_hi, onesided, span):
+    """config.fused_roll (unaligned scratch base, TK = span-1 takes) is
+    bitwise-equal to the aligned full-span path in interpret mode."""
+    hr, wr = 16, 512
+    params = AlgorithmParams(box_hsize=5, box_vsize=5,
+                             sdg_onesided_edges=onesided)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(7), 1, hr, wr, 2)
+    lo, hi = jnp.float32(-20.0), jnp.float32(d_hi)
+    base = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params, interpret=True,
+        disp_lo=lo, disp_hi=hi, span_blocks=span))
+    rolled = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params.replace(fused_roll=True), interpret=True,
+        disp_lo=lo, disp_hi=hi, span_blocks=span))
+    np.testing.assert_array_equal(rolled, base)
+
+
+def test_fused_sdg_tile_ok_masking():
+    """Footprint tile skip: masked-ON tiles are bitwise-unchanged by
+    tile_ok; masked-off tiles (no read-back targets) are unspecified."""
+    hr, wr = 32, 512
+    params = AlgorithmParams(box_hsize=5, box_vsize=5)
+    ref, src, abc = _mk_inputs(jax.random.PRNGKey(5), 1, hr, wr, 2)
+    lo, hi = jnp.float32(-20.0), jnp.float32(40.0)
+    full = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params, interpret=True,
+        disp_lo=lo, disp_hi=hi, span_blocks=3))
+    tm = np.ones((hr // 8, wr // 128), np.int32)
+    tm[1, 2] = 0     # one interior tile off
+    tm[3, :] = 0     # one tile row off
+    got = np.asarray(fused_sdg_cost_batch(
+        ref, src, abc, params, interpret=True, disp_lo=lo, disp_hi=hi,
+        span_blocks=3, tile_ok=jnp.asarray(tm)))
+    for u in range(hr // 8):
+        for v in range(wr // 128):
+            if tm[u, v]:
+                np.testing.assert_array_equal(
+                    got[:, 8 * u:8 * u + 8, 128 * v:128 * v + 128],
+                    full[:, 8 * u:8 * u + 8, 128 * v:128 * v + 128])
+
+
 def test_fused_sdg_unaligned_rows_full_span():
     # hr not a multiple of the row block; span == num blocks (base pinned 0).
     hr, wr = 12, 256

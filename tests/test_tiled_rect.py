@@ -55,13 +55,43 @@ def test_tiled_rect_depth_quality_and_seam():
 
 
 def test_tiled_rect_uneven_height_pads():
-    """H not divisible by the tile count: banding pads and crops back."""
-    images, rig, gt, params = _scene(h=46, iterations=1)
+    """H not divisible by the tile count: banding pads and crops back, the
+    pad rows behave like single-device bottom edges (global_h stays the
+    ORIGINAL h), and depth quality holds — not just finiteness."""
+    images, rig, gt, params = _scene(h=46, iterations=3)
     mesh = make_mesh(2, view_shards=1, tile_shards=2)
     prep = prepare_tiled_rect(images, rig, [1, 2, 3], params, 3.0, 8.0,
                               n_tiles=2)
     assert prep.h_pad % 2 == 0 and prep.h == 46
+    assert int(prep.full_base.global_h) == 46
     st = run_patchmatch_tiled_rect(prep, jax.random.PRNGKey(0), mesh)
     assert st.planes.shape == (46, 128, 4)
     depth, _, _ = finalize_tiled(prep, st)
-    assert np.isfinite(np.asarray(depth)).all()
+    d = np.asarray(depth)
+    assert np.isfinite(d).all()
+    g = np.asarray(gt)
+    s = np.s_[8:-8, 8:-8]
+    ok = d[s] > 0
+    assert ok.mean() > 0.9
+    err = np.abs(d[s][ok] - g[s][ok]) / g[s][ok]
+    assert np.median(err) < 0.01, f"median rel err {np.median(err):.4f}"
+
+
+def test_tiled_rect_portrait_aspect():
+    """Bands TALLER than wide (portrait input at a small tile count — the
+    BASELINE config-5 shape class) must build and recover depth: the
+    square permute grid side is max(band_h, w), not an assert."""
+    images, rig, gt, params = _scene(h=128, w=48, iterations=3)
+    mesh = make_mesh(2, view_shards=1, tile_shards=2)
+    prep = prepare_tiled_rect(images, rig, [1, 2, 3], params, 3.0, 8.0,
+                              n_tiles=2)
+    st = run_patchmatch_tiled_rect(prep, jax.random.PRNGKey(1), mesh)
+    assert st.planes.shape == (128, 48, 4)
+    depth, _, _ = finalize_tiled(prep, st)
+    d = np.asarray(depth)
+    g = np.asarray(gt)
+    s = np.s_[10:-10, 10:-10]
+    ok = d[s] > 0
+    assert ok.mean() > 0.9
+    err = np.abs(d[s][ok] - g[s][ok]) / g[s][ok]
+    assert np.median(err) < 0.01, f"median rel err {np.median(err):.4f}"
