@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--no_footprint_skip", action="store_true",
                     help="A/B: disable the rect footprint tile skip "
                          "(config.rect_footprint_skip)")
+    ap.add_argument("--coarse_box", type=int, default=None,
+                    help="A/B: config.pyramid_coarse_box override")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +74,8 @@ def main() -> int:
         params = params.replace(level_dispatch=args.dispatch)
     if args.no_footprint_skip:
         params = params.replace(rect_footprint_skip=False)
+    if args.coarse_box is not None:
+        params = params.replace(pyramid_coarse_box=args.coarse_box)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

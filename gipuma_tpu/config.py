@@ -258,6 +258,15 @@ class AlgorithmParams:
     pyramid_fine_far: bool = True
     pyramid_fine_refine_rounds: int = 0
     pyramid_carry_cost: bool = False
+    # Cost-window size at DOWNSAMPLED pyramid levels (0 = same as
+    # box_hsize/box_vsize).  A box of N coarse pixels spans 2^lvl * N
+    # full-resolution pixels, so the coarse window can be smaller than the
+    # reference's while still covering a LARGER physical footprint (box 7
+    # at level 2 spans 28 full-res px vs the fine level's 11); the from-
+    # random coarse level is ~half the pyramid's kernel work at the bench
+    # shape (box 7 = 16 window samples vs box 11's 36).  Quality-gated by
+    # bench.py's pre-timing gate and tests/test_pyramid.py.
+    pyramid_coarse_box: int = 0
     # Cap on refinement_schedule length (first N rounds), 0 = full.
     refine_rounds_cap: int = 0
 

@@ -451,7 +451,8 @@ def run_patchmatch_host_loop(scene: ScenePack, params: AlgorithmParams, key,
             state = jclose(state, scene, params=params, parity=parity)
             if params.far_propagation:
                 state = jfar(state, scene, params=params, parity=parity)
-            state = jrefine(state, scene, params=params, parity=parity)
+            if params.refine:
+                state = jrefine(state, scene, params=params, parity=parity)
     return state
 
 

@@ -153,6 +153,12 @@ def prepare_pyramid(images: Sequence[np.ndarray],
                 far_propagation=(params.far_propagation
                                  and params.pyramid_fine_far),
                 refine_rounds_cap=params.pyramid_fine_refine_rounds)
+        if lvl > 0 and params.pyramid_coarse_box > 0:
+            # Downsampled levels: a smaller pixel window still covers a
+            # larger physical footprint (config.pyramid_coarse_box).
+            params_l = params_l.replace(
+                box_hsize=min(params.pyramid_coarse_box, params.box_hsize),
+                box_vsize=min(params.pyramid_coarse_box, params.box_vsize))
         params_l = params_l.with_depth_range(
             depth_min, depth_max, rig_l.f, FAKE_BASELINE)
         prep_in.append((il, rig_l, params_l))

@@ -58,13 +58,23 @@ def run_case(tag, params, images, rig, subset, depth_min, depth_max, gt,
 
 
 def main():
+    import argparse
+    import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=192)
+    ap.add_argument("--w", type=int, default=256)
+    ap.add_argument("--cases", default="all",
+                    help="comma list: rect,exact,seed1,no_refine,inc1,"
+                         "alpha05,box19 (default all)")
+    args = ap.parse_args()
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from gipuma_tpu.config import PRESETS
     from gipuma_tpu.geometry.camera import FAKE_BASELINE
     from gipuma_tpu.utils.synthetic import plane_scene
 
-    h, w, num_cams = 192, 256, 4
+    h, w, num_cams = args.h, args.w, 4
     base = PRESETS["middlebury"]
     depth_mid = 0.5 * (base.depth_min + base.depth_max)
     images, rig, gt, (n_w, _) = plane_scene(
@@ -74,29 +84,41 @@ def main():
     params = params.with_depth_range(base.depth_min, base.depth_max,
                                      rig.f, FAKE_BASELINE)
     subset = list(range(1, num_cams))
-    args = (images, rig, subset, base.depth_min, base.depth_max, gt, n_w)
+    run_args = (images, rig, subset, base.depth_min, base.depth_max, gt,
+                n_w)
 
-    run_case("rect_baseline", params, *args, rect=True)
-    _, rel_e, ang_e = run_case("exact_baseline", params, *args)
-    run_case("exact_seed1", params.replace(seed=1), *args)
-    run_case("exact_no_refine", params.replace(refine=False), *args)
-    run_case("exact_inc1", params.replace(window_increment=1), *args)
-    run_case("exact_alpha05", params.replace(alpha=0.5), *args)
-    run_case("exact_box19", params.replace(box_hsize=19, box_vsize=19),
-             *args)
+    cases = args.cases.split(",") if args.cases != "all" else [
+        "rect", "exact", "seed1", "no_refine", "inc1", "alpha05", "box19"]
+    if "rect" in cases:
+        run_case("rect_baseline", params, *run_args, rect=True)
+    rel_e = None
+    if "exact" in cases:
+        _, rel_e, ang_e = run_case("exact_baseline", params, *run_args)
+    if "seed1" in cases:
+        run_case("exact_seed1", params.replace(seed=1), *run_args)
+    if "no_refine" in cases:
+        run_case("exact_no_refine", params.replace(refine=False), *run_args)
+    if "inc1" in cases:
+        run_case("exact_inc1", params.replace(window_increment=1), *run_args)
+    if "alpha05" in cases:
+        run_case("exact_alpha05", params.replace(alpha=0.5), *run_args)
+    if "box19" in cases:
+        run_case("exact_box19",
+                 params.replace(box_hsize=19, box_vsize=19), *run_args)
 
     # Spatial signature of the exact engine's bad pixels: fraction per
-    # image quadrant + distance-to-border histogram.
-    bad = rel_e > 10 * np.median(rel_e)
-    H, W = bad.shape
-    print(json.dumps({
-        "exact_bad_quadrants": [
-            float(bad[:H // 2, :W // 2].mean()),
-            float(bad[:H // 2, W // 2:].mean()),
-            float(bad[H // 2:, :W // 2].mean()),
-            float(bad[H // 2:, W // 2:].mean())],
-        "exact_bad_frac": float(bad.mean()),
-    }))
+    # image quadrant.
+    if rel_e is not None:
+        bad = rel_e > 10 * np.median(rel_e)
+        H, W = bad.shape
+        print(json.dumps({
+            "exact_bad_quadrants": [
+                float(bad[:H // 2, :W // 2].mean()),
+                float(bad[:H // 2, W // 2:].mean()),
+                float(bad[H // 2:, :W // 2].mean()),
+                float(bad[H // 2:, W // 2:].mean())],
+            "exact_bad_frac": float(bad.mean()),
+        }))
 
 
 if __name__ == "__main__":

@@ -31,9 +31,12 @@ def main():
                                      plane_depth=5.0, slant=(0.2, -0.1))
     Ps = make_ring_P(n_views, h, w, 800.0, target_depth=5.0)
     names = [f"cam{i:03d}" for i in range(n_views)]
+    # Match bench.py's production configuration exactly (incl. the round-2
+    # fine-level trims) so the split explains the bench number.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
-        pyramid_fine_iterations=1)
+        pyramid_fine_iterations=1, pyramid_fine_far=False,
+        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True)
     params = params.with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
     prep = prepare_pyramid(images, Ps, names, list(range(1, n_views)),
                            params, 3.0, 8.0)

@@ -117,6 +117,24 @@ def test_axial_propagation_matches_static_offsets():
                                           np.asarray(want.cost))
 
 
+def test_host_loop_honors_refine_flag():
+    # Regression (round 3): run_patchmatch_host_loop dispatched the
+    # refinement sweep unconditionally, ignoring params.refine — the
+    # scan runner and iteration() both honor it.  refine=False must match
+    # the scan runner's refine=False exactly and differ from refine=True.
+    from gipuma_tpu.models.patchmatch import run_patchmatch_host_loop
+    images, rig, gt_depth, params, scene = make_setup(h=32, w=40,
+                                                      iterations=1)
+    key = jax.random.PRNGKey(7)
+    off = run_patchmatch_host_loop(scene, params.replace(refine=False), key)
+    off_scan = run_patchmatch_host_loop(
+        scene, params.replace(refine=False, level_dispatch="scan"), key)
+    on = run_patchmatch_host_loop(scene, params, key)
+    np.testing.assert_array_equal(np.asarray(off.planes),
+                                  np.asarray(off_scan.planes))
+    assert not np.array_equal(np.asarray(off.planes), np.asarray(on.planes))
+
+
 def test_scan_runner_matches_host_loop():
     # run_iterations_scan (one device program, traced parity/distance) must
     # reproduce the host-dispatched sub-sweep loop exactly.
