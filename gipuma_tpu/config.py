@@ -195,7 +195,11 @@ class AlgorithmParams:
     # pixel — and lean on the routing-exactness budget below instead (the
     # build retries with inflated scales whenever the measured bad
     # fraction exceeds the budget, so quality is still gated per pair).
-    rect_slope_req: float = 1.05
+    # Default 1.0 (round 3): at the bench rig this is -4.4% evaluated
+    # tiles vs the round-2 value 1.05 at ZERO measured routing error;
+    # targets below 1.0 backfire (initial scales fail the routing check
+    # and the 1.2x retry overshoots past the 1.05 sizes).
+    rect_slope_req: float = 1.0
     # Max fraction of pixels allowed inexact plane routing (duplicate /
     # contended table slots -> those pixels read a NEIGHBOR pixel's
     # candidate cost during sweeps).  Verified at table build; exceeding

@@ -105,6 +105,11 @@ def main():
     if "box19" in cases:
         run_case("exact_box19",
                  params.replace(box_hsize=19, box_vsize=19), *run_args)
+    if "iter16" in cases:
+        run_case("exact_iter16", params.replace(iterations=16), *run_args)
+    if "rect_iter16" in cases:
+        run_case("rect_iter16", params.replace(iterations=16), *run_args,
+                 rect=True)
 
     # Spatial signature of the exact engine's bad pixels: fraction per
     # image quadrant.
