@@ -91,12 +91,22 @@ def main() -> int:
         t0 = time.time()
         depth = np.asarray(run_pyramid(prep, jax.random.PRNGKey(ref),
                                        as_numpy=False)[0])
+        t_compile_run = time.time() - t0
+        # Steady-state: the first run pays the remote Mosaic compiles
+        # (~70 min at this scale — the persistent cache does not cover
+        # these executables); batch production amortizes them, so the
+        # honest per-view rate is the SECOND run in-process.
+        t0 = time.time()
+        depth = np.asarray(run_pyramid(prep, jax.random.PRNGKey(ref + 100),
+                                       as_numpy=False)[0])
         t_run = time.time() - t0
         interior = np.s_[32:-32, 32:-32]
         err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
         med = float(np.median(err))
         rec = {"ref": ref, "h": h, "w": w, "views": len(subset),
-               "prep_s": round(t_prep, 2), "run_s": round(t_run, 2),
+               "prep_s": round(t_prep, 2),
+               "compile_plus_run_s": round(t_compile_run, 2),
+               "run_s": round(t_run, 2),
                "mp_per_s": round(h * w / 1e6 / t_run, 4),
                "median_rel_err": round(med, 6),
                "frac_within_1pct": round(float(np.mean(err < 0.01)), 4)}
