@@ -64,10 +64,16 @@ def main() -> int:
     # Fine-level trims (far-sweep drop, 2-round refinement, carried coarse
     # cost): CPU-A/B'd quality-neutral (models/pyramid.py docstrings), and
     # re-gated here at median rel err < 5e-3 before timing.
+    # pyramid_coarse_box=7: the downsampled levels run a 7x7 window (16
+    # samples vs box 11's 36) that still spans a LARGER full-resolution
+    # footprint than the fine level's (config.py).  Measured on v5e:
+    # 0.693 -> 1.012 MP/s (+46%) at the same sub-5e-3 quality gate;
+    # CPU-gated against the untrimmed pyramid in tests/test_pyramid.py.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=1, pyramid_fine_far=False,
-        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True)
+        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True,
+        pyramid_coarse_box=7)
     if args.schedule == "reference":
         params = params.replace(pyramid_levels=1)
     if args.dispatch is not None:

@@ -187,6 +187,19 @@ class AlgorithmParams:
     # outputs are unspecified and never addressed by the read-back tables
     # (the same contract as the per-view extent skip).
     rect_footprint_skip: bool = True
+    # Extend the footprint skip to the two permutation gather passes that
+    # touch non-target tiles: pass 2 of the state->rect forward permute
+    # (skips delivering plane vectors to tiles the fused kernel never
+    # evaluates) and pass 1 of the rect->state return permute (skips rect
+    # rows no consumed state pixel reads back).  Masks are derived from
+    # the same read-back-target set as the footprint skip at build time
+    # (models/rect_scene.py) and are conservative supersets of the
+    # consumed coordinates, so results are unchanged (gated by
+    # tests/test_rect_cost.py + KERNEL_EQUIV).  Active only together with
+    # rect_footprint_skip on the window_grads production path.  Default
+    # off until the masked gather kernel is qualified on hardware
+    # (KERNEL_EQUIV + bench A/B — flip to True with those artifacts).
+    rect_permute_skip: bool = False
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

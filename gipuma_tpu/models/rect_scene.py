@@ -572,8 +572,36 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         tile_ok = tgt_p.reshape(hp8 // 8, 8, wr // 128, 128).any(
             axis=(1, 3)).astype(np.int32)
 
+        # Permutation-pass tile masks (ops/permute2d mask contract), both
+        # derived from the same read-back-target set as tile_ok:
+        # fwd2_ok masks pass 2 of the state->rect forward permutation
+        # (TRANSPOSED [wr, hr] output space, [8-col, 128-row] rect tiles):
+        # a tile must run iff it covers any pixel of any fused-kernel-
+        # evaluated (tile_ok) rect tile — the fused kernel reads the
+        # permuted plane field over WHOLE [8, 128] tiles it evaluates.
+        hp128 = _round_up(hr, 128)
+        pix = np.zeros((hp128, wr), bool)
+        pix[:hp8] = np.repeat(np.repeat(tile_ok > 0, 8, 0), 128, 1)
+        fwd2_ok = pix.T.reshape(wr // 8, 8, hp128 // 128, 128).any(
+            axis=(1, 3)).astype(np.int32)
+        # ret1_ok masks pass 1 of the rect->state return permutation
+        # ([hr, s_sq] output space): tile (r-block, l-group) must run iff
+        # some CONSUMED state output (s0 < hk, l < wk after un-rotation;
+        # dilated to pass-2 [8, 128] tile granularity) selects row
+        # ret.r[s0, l] in the block.  Rows selected only by smooth-fill
+        # outputs outside that region land in never-consumed coordinates.
+        hk, wk = (w, h) if k_rot % 2 else (h, w)
+        ce_h = min(_round_up(hk, 128), s_sq)
+        ce_w = min(_round_up(wk, 8), s_sq)
+        rsel = np.clip(np.round(ret.r[:ce_h, :ce_w]).astype(np.int64),
+                       0, hr - 1)
+        lsel = np.broadcast_to(np.arange(ce_w), rsel.shape)
+        ret1_ok = np.zeros((hp8 // 8, _round_up(s_sq, 128) // 128),
+                           np.int32)
+        ret1_ok[rsel // 8, lsel // 128] = 1
+
         pair = (ref_rect, src_rect, L_local, fwd, ret, hr, wr,
-                k_rot, (d_lo, d_hi), tile_ok)
+                k_rot, (d_lo, d_hi), tile_ok, fwd2_ok, ret1_ok)
         pinfo = {
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "scales": (round(a_scale, 3), round(b_shear, 3),
@@ -619,7 +647,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                  np.zeros((3, 3)),
                  build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
                  build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
-                 0, 128, 0, (0.0, 1.0), np.zeros((1, 1), np.int32))
+                 0, 128, 0, (0.0, 1.0), np.zeros((1, 1), np.int32),
+                 np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32))
         built_pairs = [(p if p is not None else dummy, pi)
                        for p, pi in built_pairs]
         vv = np.asarray(base.view_valid).copy()
@@ -704,6 +733,17 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         tm_np[i, :t9.shape[0], :t9.shape[1]] = t9
     tile_ok = jnp.asarray(tm_np)
 
+    # Permute-pass tile masks, zero-padded onto the common tile grids
+    # (zeros = skip; pad rows/cols and dummy views do no permute work).
+    f2_np = np.zeros((len(per_pair), wrp // 8, -(-hrp // 128)), np.int32)
+    r1_np = np.zeros((len(per_pair), hrp // 8, -(-s_sq // 128)), np.int32)
+    for i, p in enumerate(per_pair):
+        f2, r1 = p[10], p[11]
+        f2_np[i, :f2.shape[0], :f2.shape[1]] = f2
+        r1_np[i, :r1.shape[0], :r1.shape[1]] = r1
+    fwd2_ok = jnp.asarray(f2_np)
+    ret1_ok = jnp.asarray(r1_np)
+
     # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
     # sampling span = tile width (128) + window reach (±hrad, plus the
     # window_grads extension ring of one increment) + the clamped disparity
@@ -723,7 +763,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,
                       fwd_c1=fwd_c1, fwd_r=fwd_r, ret_c1=ret_c1, ret_r=ret_r,
                       rot_k=rot_k, disp_bounds=disp_bounds, spans=spans,
-                      hw_valid=hw_valid, tile_ok=tile_ok)
+                      hw_valid=hw_valid, tile_ok=tile_ok,
+                      fwd2_ok=fwd2_ok, ret1_ok=ret1_ok)
     info["rect_shape_padded"] = (hrp, wrp)
     info["spans"] = (span_sample, span_perm)
     return scene, info

@@ -38,7 +38,7 @@ def _unpack_taps(vp):
 
 
 def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
-                       SPAN, B, PACKED, GFWD, NEAREST):
+                       SPAN, B, PACKED, GFWD, NEAREST, TM=None):
     # Per [8, 128] tile of samples: the needed source rows are exactly the
     # tile's own rows; only the x-block range is dynamic.  When SPAN < NB,
     # the tile's x values are known (guaranteed by the caller) to span at
@@ -81,105 +81,123 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
         fx = jnp.clip(xx - x0i.astype(jnp.float32), 0.0, 1.0)
         return x0i, fx
 
-    def group(gi):
+    def tile(gi, g):
         rows = pl.ds(gi * 8, 8)
-        for g in range(G):                 # static sample column groups
-            windowed = SPAN < NB
+        windowed = SPAN < NB
+        if windowed:
+            # ONE scratch window per (row group, col group, channel),
+            # shared by ALL batch items: the caller's span bound is
+            # derived from the global clamped-disparity range, so it
+            # covers the union of every batch item's samples for this
+            # tile.  (A per-item window was measured copy-bound at
+            # large B; sharing amortizes one copy over B*SPAN gathers.)
+            # x0i/fx are recomputed per use from VMEM rather than kept
+            # live across the c/bi loops — B pairs of live vregs would
+            # spill.
+            mn = load_x(0, rows, g)[0]
+            for bi in range(1, B):
+                mn = jnp.minimum(mn, load_x(bi, rows, g)[0])
+            base = jnp.clip(jnp.min(mn) // 128, 0, NB - SPAN) * 128
+            nblk = SPAN
+        else:
+            nblk = NB
+        for c in range(C):
             if windowed:
-                # ONE scratch window per (row group, col group, channel),
-                # shared by ALL batch items: the caller's span bound is
-                # derived from the global clamped-disparity range, so it
-                # covers the union of every batch item's samples for this
-                # tile.  (A per-item window was measured copy-bound at
-                # large B; sharing amortizes one copy over B*SPAN gathers.)
-                # x0i/fx are recomputed per use from VMEM rather than kept
-                # live across the c/bi loops — B pairs of live vregs would
-                # spill.
-                mn = load_x(0, rows, g)[0]
-                for bi in range(1, B):
-                    mn = jnp.minimum(mn, load_x(bi, rows, g)[0])
-                base = jnp.clip(jnp.min(mn) // 128, 0, NB - SPAN) * 128
-                nblk = SPAN
-            else:
-                nblk = NB
-            for c in range(C):
+                scratch_ref[:, :] = src_ref[c, rows,
+                                            pl.ds(base, SPAN * 128)]
+                blk_at = (lambda b:
+                          scratch_ref[:, b * 128:(b + 1) * 128])
+            for bi in range(B):
+                x0i, fx = load_x(bi, rows, g)
                 if windowed:
-                    scratch_ref[:, :] = src_ref[c, rows,
-                                                pl.ds(base, SPAN * 128)]
+                    cl_all = x0i - base
+                    pred_at = lambda b: True
+                else:
+                    bxmin = jnp.min(x0i) // 128
+                    bxmax = (jnp.max(x0i) + 1) // 128
+                    cl_all = x0i
                     blk_at = (lambda b:
-                              scratch_ref[:, b * 128:(b + 1) * 128])
-                for bi in range(B):
-                    x0i, fx = load_x(bi, rows, g)
-                    if windowed:
-                        cl_all = x0i - base
-                        pred_at = lambda b: True
-                    else:
-                        bxmin = jnp.min(x0i) // 128
-                        bxmax = (jnp.max(x0i) + 1) // 128
-                        cl_all = x0i
-                        blk_at = (lambda b:
-                                  src_ref[c, rows, b * 128:(b + 1) * 128])
-                        pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
-                    if PACKED:
-                        vp = jnp.zeros((8, 128), jnp.int32)
-                        for b in range(nblk):
-                            blk = blk_at(b)
-                            cl = cl_all - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            vp = jnp.where((cl >= 0) & (cl < 128)
-                                           & pred_at(b), g0, vp)
-                        v0, v1 = _unpack_taps(vp)
-                        if GFWD:
-                            half = C // 2
-                            if c < half:        # image word: img + gx
-                                o_ref[bi, c, rows,
-                                      g * 128:(g + 1) * 128] = (
-                                    v0 * (1 - fx) + v1 * fx)
-                                o_ref[bi, half + c, rows,
-                                      g * 128:(g + 1) * 128] = (
-                                    2.0 * (v1 - v0))
-                            else:               # y-gradient word
-                                o_ref[bi, half + c, rows,
-                                      g * 128:(g + 1) * 128] = (
-                                    v0 * (1 - fx) + v1 * fx)
-                            continue
-                        out = v0 * (1 - fx) + v1 * fx
-                    elif NEAREST:
-                        v0 = jnp.zeros((8, 128), jnp.float32)
-                        for b in range(nblk):
-                            blk = blk_at(b)
-                            cl = cl_all - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            v0 = jnp.where((cl >= 0) & (cl < 128)
-                                           & pred_at(b), g0, v0)
-                        out = v0
-                    else:
-                        v0 = jnp.zeros((8, 128), jnp.float32)
-                        v1 = jnp.zeros((8, 128), jnp.float32)
-                        for b in range(nblk):
-                            blk = blk_at(b)
-                            cl = cl_all - b * 128
-                            g0 = jnp.take_along_axis(
-                                blk, jnp.clip(cl, 0, 127), axis=1)
-                            g1 = jnp.take_along_axis(
-                                blk, jnp.clip(cl + 1, 0, 127), axis=1)
-                            v0 = jnp.where((cl >= 0) & (cl < 128)
-                                           & pred_at(b), g0, v0)
-                            v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
-                                           & pred_at(b), g1, v1)
-                        out = v0 * (1 - fx) + v1 * fx
-                    o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
+                              src_ref[c, rows, b * 128:(b + 1) * 128])
+                    pred_at = lambda b: (b >= bxmin) & (b <= bxmax)
+                if PACKED:
+                    vp = jnp.zeros((8, 128), jnp.int32)
+                    for b in range(nblk):
+                        blk = blk_at(b)
+                        cl = cl_all - b * 128
+                        g0 = jnp.take_along_axis(
+                            blk, jnp.clip(cl, 0, 127), axis=1)
+                        vp = jnp.where((cl >= 0) & (cl < 128)
+                                       & pred_at(b), g0, vp)
+                    v0, v1 = _unpack_taps(vp)
+                    if GFWD:
+                        half = C // 2
+                        if c < half:        # image word: img + gx
+                            o_ref[bi, c, rows,
+                                  g * 128:(g + 1) * 128] = (
+                                v0 * (1 - fx) + v1 * fx)
+                            o_ref[bi, half + c, rows,
+                                  g * 128:(g + 1) * 128] = (
+                                2.0 * (v1 - v0))
+                        else:               # y-gradient word
+                            o_ref[bi, half + c, rows,
+                                  g * 128:(g + 1) * 128] = (
+                                v0 * (1 - fx) + v1 * fx)
+                        continue
+                    out = v0 * (1 - fx) + v1 * fx
+                elif NEAREST:
+                    v0 = jnp.zeros((8, 128), jnp.float32)
+                    for b in range(nblk):
+                        blk = blk_at(b)
+                        cl = cl_all - b * 128
+                        g0 = jnp.take_along_axis(
+                            blk, jnp.clip(cl, 0, 127), axis=1)
+                        v0 = jnp.where((cl >= 0) & (cl < 128)
+                                       & pred_at(b), g0, v0)
+                    out = v0
+                else:
+                    v0 = jnp.zeros((8, 128), jnp.float32)
+                    v1 = jnp.zeros((8, 128), jnp.float32)
+                    for b in range(nblk):
+                        blk = blk_at(b)
+                        cl = cl_all - b * 128
+                        g0 = jnp.take_along_axis(
+                            blk, jnp.clip(cl, 0, 127), axis=1)
+                        g1 = jnp.take_along_axis(
+                            blk, jnp.clip(cl + 1, 0, 127), axis=1)
+                        v0 = jnp.where((cl >= 0) & (cl < 128)
+                                       & pred_at(b), g0, v0)
+                        v1 = jnp.where((cl + 1 >= 0) & (cl + 1 < 128)
+                                       & pred_at(b), g1, v1)
+                    out = v0 * (1 - fx) + v1 * fx
+                o_ref[bi, c, rows, g * 128:(g + 1) * 128] = out
 
-    for gi in range(x_ref.shape[1] // 8):
-        group(gi)
+    nrowg = x_ref.shape[1] // 8
+    for gi in range(nrowg):
+        for g in range(G):
+            if TM is None:
+                tile(gi, g)
+            else:
+                # Output-tile skip (TM = [M/8, Ws/128] int32 target mask
+                # in SMEM): tiles whose [8, 128] output block holds no
+                # consumed coordinate skip ALL work — scratch-window
+                # copies included — exactly like the fused cost kernel's
+                # footprint skip (pallas_sdg_fused.py).  Skipped output
+                # tiles keep stale VMEM contents; callers must never
+                # read them (ops/permute2d mask contract).
+                @pl.when(TM[pl.program_id(0) * nrowg + gi, g] > 0)
+                def _masked_tile(gi=gi, g=g):
+                    tile(gi, g)
+
+
+def _row_gather_kernel_masked(tm_ref, src_ref, x_ref, o_ref, scratch_ref,
+                              **kw):
+    _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, TM=tm_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_span_blocks",
                                               "grad_fwd", "nearest"))
-def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
-                     grad_fwd=False, nearest=False):
+def _row_gather_call(src_chw, x, tm=None, interpret=False,
+                     max_span_blocks=None, grad_fwd=False, nearest=False):
     C, H, W = src_chw.shape
     B, M, WS = x.shape
     packed = src_chw.dtype == jnp.int32
@@ -188,10 +206,11 @@ def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
     co = C + C // 2 if grad_fwd else C
     nb = W // 128
     span = nb if max_span_blocks is None else min(max_span_blocks, nb)
-    kernel = functools.partial(_row_gather_kernel, W=W, NB=nb,
-                               C=C, G=WS // 128, SPAN=span, B=B,
-                               PACKED=packed, GFWD=grad_fwd,
-                               NEAREST=nearest)
+    statics = dict(W=W, NB=nb, C=C, G=WS // 128, SPAN=span, B=B,
+                   PACKED=packed, GFWD=grad_fwd, NEAREST=nearest)
+    kernel = (functools.partial(_row_gather_kernel, **statics)
+              if tm is None else
+              functools.partial(_row_gather_kernel_masked, **statics))
     # Scale the row block down for large batches: x + out blocks are
     # B*(1+co)*br*WS*4 bytes and are double-buffered by the pipeline — at
     # the 16 MB scoped-VMEM edge Mosaic stops overlapping DMA with compute
@@ -200,16 +219,22 @@ def _row_gather_call(src_chw, x, interpret=False, max_span_blocks=None,
     br = BLOCK_ROWS
     while br > 8 and B * (1 + co) * br * WS * 4 > 4 << 20:
         br //= 2
+    in_specs = [pl.BlockSpec((C, br, W), lambda i: (0, i, 0)),
+                pl.BlockSpec((B, br, WS), lambda i: (0, i, 0))]
+    args = (src_chw, x)
+    if tm is not None:
+        assert tm.shape == (M // 8, WS // 128), (tm.shape, M, WS)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (tm, src_chw, x)
     return pl.pallas_call(
         kernel,
         grid=(M // br,),
-        in_specs=[pl.BlockSpec((C, br, W), lambda i: (0, i, 0)),
-                  pl.BlockSpec((B, br, WS), lambda i: (0, i, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, co, br, WS), lambda i: (0, 0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, co, M, WS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, span * 128), src_chw.dtype)],
         interpret=interpret,
-    )(src_chw, x)
+    )(*args)
 
 
 def pack_taps(src: np.ndarray) -> np.ndarray:
@@ -232,7 +257,8 @@ def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
                interpret: bool = False,
                max_span_blocks: int | None = None,
                grad_fwd: bool = False,
-               nearest: bool = False) -> jnp.ndarray:
+               nearest: bool = False,
+               tile_ok: jnp.ndarray | None = None) -> jnp.ndarray:
     """Linear interpolation along rows: out[c, i, j] = lerp(src[c, i, :], x[i, j]).
 
     src_chw: [C, H, W] with H == x.shape[0] (padded by callers) and
@@ -246,10 +272,16 @@ def row_gather(src_chw: jnp.ndarray, x: jnp.ndarray,
 
     grad_fwd: src_chw is packed [C' img tap-pairs, C' gy tap-pairs] and the
     result has 3C' channels [img, gx, gy] with gx = 2*(v1 - v0) (see the
-    kernel docstring)."""
+    kernel docstring).
+
+    tile_ok: optional int32 [ceil(H/8), ceil(Ws/128)] OUTPUT-tile mask —
+    [8, 128] output tiles with 0 skip all work (gathers AND scratch-window
+    copies) and hold unspecified values; callers must consume only masked-
+    on coordinates (ops/permute2d mask contract)."""
     out = row_gather_batch(src_chw, x[None], interpret=interpret,
                            max_span_blocks=max_span_blocks,
-                           grad_fwd=grad_fwd, nearest=nearest)
+                           grad_fwd=grad_fwd, nearest=nearest,
+                           tile_ok=tile_ok)
     return out[0]
 
 
@@ -257,7 +289,8 @@ def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
                      interpret: bool = False,
                      max_span_blocks: int | None = None,
                      grad_fwd: bool = False,
-                     nearest: bool = False) -> jnp.ndarray:
+                     nearest: bool = False,
+                     tile_ok: jnp.ndarray | None = None) -> jnp.ndarray:
     """row_gather for B sample grids sharing one source: x [B, H, Ws] ->
     [B, C, H, Ws] in ONE kernel launch (candidate batching)."""
     C, H, W = src_chw.shape
@@ -270,7 +303,14 @@ def row_gather_batch(src_chw: jnp.ndarray, x: jnp.ndarray,
     if pad_c or pad_r:
         x = jnp.pad(x, ((0, 0), (0, pad_r), (0, pad_c)))
         src_chw = jnp.pad(src_chw, ((0, 0), (0, pad_r), (0, 0)))
-    out = _row_gather_call(src_chw, x, interpret=interpret,
+    if tile_ok is not None:
+        th, tw = (M + pad_r) // 8, (Ws + pad_c) // 128
+        tm = jnp.zeros((th, tw), jnp.int32)
+        tm = tm.at[:tile_ok.shape[0], :tile_ok.shape[1]].set(
+            tile_ok.astype(jnp.int32)[:th, :tw])
+    else:
+        tm = None
+    out = _row_gather_call(src_chw, x, tm, interpret=interpret,
                            max_span_blocks=max_span_blocks,
                            grad_fwd=grad_fwd, nearest=nearest)
     if pad_c or pad_r:

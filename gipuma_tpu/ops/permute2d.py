@@ -162,7 +162,9 @@ def _pad128(a: jnp.ndarray) -> jnp.ndarray:
 
 def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
               interpret: bool = False,
-              max_span_blocks: int | None = None) -> jnp.ndarray:
+              max_span_blocks: int | None = None,
+              mask1: jnp.ndarray | None = None,
+              mask2: jnp.ndarray | None = None) -> jnp.ndarray:
     """Apply a 2-pass permutation built by `build_tables`.
 
     x: [in_h, in_w] or [C, in_h, in_w]; c1: [in_h, out_w]; r: [out_h, out_w].
@@ -174,6 +176,14 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     max_span_blocks: static bound on both passes' per-tile index span
     (measure with `tile_span_blocks` at build time) — enables the gather
     kernel's fast scratch-window path.
+
+    mask1 / mask2: optional int32 output-tile masks for the two gather
+    passes (see models/rect_scene.build_permute_masks): mask1 is
+    [ceil(in_h/8), ceil(out_w/128)] over pass 1's [in_h, out_w] output,
+    mask2 is [ceil(out_w/8), ceil(out_h/128)] over pass 2's TRANSPOSED
+    [out_w, out_h] output.  Masked-off [8, 128] tiles do no work and hold
+    unspecified values; the caller guarantees it only consumes final
+    coordinates whose whole 2-pass chain is masked on.
     """
     squeeze = x.ndim == 2
     if squeeze:
@@ -182,12 +192,12 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
 
     a = row_gather(_pad128(x), c1, interpret=interpret,
                    max_span_blocks=max_span_blocks,
-                   nearest=True)                              # [C, in_h, out_w]
+                   nearest=True, tile_ok=mask1)               # [C, in_h, out_w]
     a_t = jnp.swapaxes(a, 1, 2)                               # [C, out_w, in_h]
     r_t = jnp.swapaxes(r, 0, 1)                               # [out_w, out_h]
     o_t = row_gather(_pad128(a_t), r_t, interpret=interpret,
                      max_span_blocks=max_span_blocks,
-                     nearest=True)                            # [C, out_w, out_h]
+                     nearest=True, tile_ok=mask2)             # [C, out_w, out_h]
     out = jnp.swapaxes(o_t, 1, 2)
     return out[0] if squeeze else out
 

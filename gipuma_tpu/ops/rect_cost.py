@@ -520,6 +520,14 @@ class RectScene(NamedTuple):
     # kernel work (measured 2.44x -> ~1.2x evaluated px/image px on the
     # tilted views of a ring rig).  None disables the skip.
     tile_ok: jnp.ndarray = None
+    # Permutation-pass tile masks (ops/permute2d mask contract), derived
+    # from the same read-back-target set (models/rect_scene.py):
+    # fwd2_ok [V, Wrp/8, ceil(Hrp/128)] masks pass 2 of the forward
+    # (state->rect) permutation in its transposed output space; ret1_ok
+    # [V, ceil(Hrp/8), ceil(S/128)] masks pass 1 of the return
+    # (rect->state) permutation.  None disables the permute skip.
+    fwd2_ok: jnp.ndarray = None
+    ret1_ok: jnp.ndarray = None
 
     # --- engine-facing delegation (models/patchmatch.py reads these) ---
     @property
@@ -650,12 +658,30 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     if tm_all is None or not getattr(params, "rect_footprint_skip", True):
         tm_all = jnp.ones((scene.num_views, hrp // 8, wrp // 128), jnp.int32)
 
+    # Permute-pass tile skip (ops/permute2d mask contract): only under the
+    # footprint skip (the masks assume the fused kernel reads the permuted
+    # plane field on tile_ok tiles only) on the window_grads production
+    # path — every sampling path clamps disparity in-kernel, so garbage
+    # plane values on skipped tiles cannot break the gather span bound.
+    pskip = (getattr(params, "rect_permute_skip", True)
+             and getattr(params, "rect_footprint_skip", True)
+             and params.pack_taps and params.window_grads
+             and scene.tile_ok is not None
+             and scene.fwd2_ok is not None and scene.ret1_ok is not None)
+    if pskip:
+        f2_all, r1_all = scene.fwd2_ok, scene.ret1_ok
+    else:
+        f2_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
+        r1_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
+
     def view_body(_, vin):
-        ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv, hwv, tmv = vin
+        (ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv, hwv, tmv,
+         f2v, r1v) = vin
         m_sel = jax.lax.dynamic_index_in_dim(m_rots, kv, axis=0,
                                              keepdims=False)
         m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
-                           max_span_blocks=span_perm)      # [K3, Hrp, Wrp]
+                           max_span_blocks=span_perm,
+                           mask2=f2v if pskip else None)   # [K3, Hrp, Wrp]
         m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
         abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
         # NOTE: on the window_grads default this dispatches into the fused
@@ -670,7 +696,8 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                                          span_blocks=span_sample,
                                          hw_valid=hwv, tile_ok=tmv)
         cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret,
-                            max_span_blocks=span_perm)     # [K, S, S]
+                            max_span_blocks=span_perm,
+                            mask1=r1v if pskip else None)  # [K, S, S]
         cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)
         cost_act = jnp.where(rp == 0, cost_full[:, :, 0::2],
                              cost_full[:, :, 1::2])        # [K, H, W2]
@@ -683,7 +710,7 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         (scene.ref_rect, scene.src_rect, scene.L,
          scene.fwd_c1, scene.fwd_r, scene.ret_c1, scene.ret_r,
          scene.rot_k, scene.disp_bounds, scene.view_valid, hwv_all,
-         tm_all))
+         tm_all, f2_all, r1_all))
     return costs                                           # [V, K, H, W2]
 
 

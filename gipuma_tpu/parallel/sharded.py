@@ -84,6 +84,10 @@ def _scene_specs(scene, batched: bool):
                           hw_valid=(None if scene.hw_valid is None
                                     else view),
                           tile_ok=(None if scene.tile_ok is None
+                                   else view),
+                          fwd2_ok=(None if scene.fwd2_ok is None
+                                   else view),
+                          ret1_ok=(None if scene.ret1_ok is None
                                    else view))
     return specs
 
@@ -121,6 +125,20 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
                                    jnp.zeros((target - V,)
                                              + scene.tile_ok.shape[1:],
                                              scene.tile_ok.dtype)],
+                                  axis=0)),
+                     fwd2_ok=(None if scene.fwd2_ok is None else
+                              jnp.concatenate(
+                                  [scene.fwd2_ok,
+                                   jnp.zeros((target - V,)
+                                             + scene.fwd2_ok.shape[1:],
+                                             scene.fwd2_ok.dtype)],
+                                  axis=0)),
+                     ret1_ok=(None if scene.ret1_ok is None else
+                              jnp.concatenate(
+                                  [scene.ret1_ok,
+                                   jnp.zeros((target - V,)
+                                             + scene.ret1_ok.shape[1:],
+                                             scene.ret1_ok.dtype)],
                                   axis=0)))
 
 

@@ -101,12 +101,20 @@ def _repad_rect(scene: RectScene, hrp: int, wrp: int) -> RectScene:
     if tile_ok is not None:
         tile_ok = jnp.pad(tile_ok, ((0, 0), (0, (hrp - h0) // 8),
                                     (0, (wrp - w0) // 128)))
+    fwd2_ok = scene.fwd2_ok
+    if fwd2_ok is not None:
+        fwd2_ok = jnp.pad(fwd2_ok,
+                          ((0, 0), (0, dw // 8),
+                           (0, -(-hrp // 128) - fwd2_ok.shape[-1])))
+    ret1_ok = scene.ret1_ok
+    if ret1_ok is not None:
+        ret1_ok = jnp.pad(ret1_ok, ((0, 0), (0, dh // 8), (0, 0)))
     return scene._replace(
         ref_rect=zpad(scene.ref_rect), src_rect=zpad(scene.src_rect),
         fwd_c1=jnp.pad(scene.fwd_c1, ((0, 0), (0, 0), (0, dw)), mode="edge"),
         fwd_r=jnp.pad(scene.fwd_r, ((0, 0), (0, dh), (0, dw)), mode="edge"),
         ret_c1=jnp.pad(scene.ret_c1, ((0, 0), (0, dh), (0, 0)), mode="edge"),
-        tile_ok=tile_ok)
+        tile_ok=tile_ok, fwd2_ok=fwd2_ok, ret1_ok=ret1_ok)
 
 
 class TiledRectPrep(NamedTuple):
@@ -249,7 +257,9 @@ def _tiled_specs(scene: RectScene, tile_axis: str, view_axis: str):
                      fwd_c1=view, fwd_r=view, ret_c1=view, ret_r=view,
                      rot_k=view, disp_bounds=view, spans=base,
                      hw_valid=view,
-                     tile_ok=None if scene.tile_ok is None else view)
+                     tile_ok=None if scene.tile_ok is None else view,
+                     fwd2_ok=None if scene.fwd2_ok is None else view,
+                     ret1_ok=None if scene.ret1_ok is None else view)
 
 
 def run_patchmatch_tiled_rect(prep: TiledRectPrep, key, mesh: Mesh,

@@ -76,3 +76,11 @@ def test_pyramid_fine_trims_quality():
     # Same error class: within 2x of untrimmed and under absolute caps.
     assert med_t < max(2.0 * med_u, 5e-3), (med_t, med_u)
     assert p99_t < max(2.0 * p99_u, 5e-2), (p99_t, p99_u)
+
+    # pyramid_coarse_box (config.py): shrinking the coarse-level window
+    # (which still covers a LARGER physical footprint than the fine box)
+    # must stay in the same error class — median AND p99 — as the plain
+    # trimmed schedule.  Gates the bench configuration's coarse trim.
+    med_c, p99_c = run(trimmed.replace(pyramid_coarse_box=7))
+    assert med_c < max(2.0 * med_t, 5e-3), (med_c, med_t)
+    assert p99_c < max(2.0 * p99_t, 5e-2), (p99_c, p99_t)

@@ -181,3 +181,39 @@ def test_two_plane_discontinuity():
     for mask in (ok, near_mask & ok, (~near_mask) & ok):
         e = np.abs(depth[mask] - gt_depth[mask]) / gt_depth[mask]
         assert np.median(e) < 0.015, f"median rel err {np.median(e):.4f}"
+
+
+def test_permute_skip_is_exact():
+    """rect_permute_skip (config.py): masking the forward-permute pass-2 /
+    return-permute pass-1 tiles that hold no consumed coordinate must not
+    change any per-view cost the engine consumes — the masks are built as
+    conservative supersets of the read-back-target set
+    (models/rect_scene.build_rect_scene)."""
+    import jax.numpy as jnp
+
+    from gipuma_tpu.ops.rect_cost import rect_per_view_costs_batch
+
+    # 96x128: large enough that the ring rig's tilted pairs leave whole
+    # [8, 128] tiles without targets (at 48x64 every tile holds one).
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), h=96, w=128)
+    assert scene.fwd2_ok is not None and scene.ret1_ok is not None
+    # The masks must actually skip something on a ring rig (tilted pairs).
+    assert float(scene.fwd2_ok.mean()) < 0.999
+    assert float(scene.ret1_ok.mean()) < 0.999
+
+    h, w = images[0].shape[:2]
+    w2 = w // 2
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(4.0, 7.0, (2, h, w2)), jnp.float32)
+    n = rng.normal(size=(2, h, w2, 3))
+    n[..., 2] = -np.abs(n[..., 2]) - 1.0
+    n = jnp.asarray(n / np.linalg.norm(n, axis=-1, keepdims=True),
+                    jnp.float32)
+
+    for parity in (0, 1):
+        on = np.asarray(rect_per_view_costs_batch(
+            scene, params, parity, n, d))
+        off = np.asarray(rect_per_view_costs_batch(
+            scene, params.replace(rect_permute_skip=False), parity, n, d))
+        np.testing.assert_allclose(on, off, rtol=2e-6, atol=1e-5)

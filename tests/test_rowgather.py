@@ -66,3 +66,24 @@ def test_row_gather_grad_fwd(rng, span):
     assert np.abs(got[:C] - want_img).max() < 1.0
     assert np.abs(got[C:2 * C] - want_gx).max() < 2.5   # diff of bf16 taps
     assert np.abs(got[2 * C:] - want_gy).max() < 0.1
+
+
+@pytest.mark.parametrize("span", [None, 2])
+def test_row_gather_tile_mask(rng, span):
+    """Output-tile skip (tile_ok): masked-on [8, 128] tiles match the
+    unmasked gather exactly; masked-off tiles are unspecified and must not
+    perturb masked-on ones (shared scratch window state)."""
+    C, H, W, Ws = 2, 48, 256, 300
+    src = rng.random((C, H, W)).astype(np.float32)
+    x = (rng.random((H, Ws)) * (W - 1)).astype(np.float32)
+    tm = (rng.random((-(-H // 8), -(-Ws // 128))) < 0.5).astype(np.int32)
+    tm[0, 0] = 1  # keep at least one tile on
+    want = np.asarray(row_gather(jnp.asarray(src), jnp.asarray(x),
+                                 interpret=True, max_span_blocks=span))
+    got = np.asarray(row_gather(jnp.asarray(src), jnp.asarray(x),
+                                interpret=True, max_span_blocks=span,
+                                tile_ok=jnp.asarray(tm)))
+    on = np.repeat(np.repeat(tm > 0, 8, 0), 128, 1)[:H, :Ws]
+    # 1-ULP tolerance: the mask input changes XLA's fusion of the lerp in
+    # interpret mode (FMA contraction), not the gathered taps.
+    np.testing.assert_allclose(got[:, on], want[:, on], rtol=2e-7, atol=0)
