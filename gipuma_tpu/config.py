@@ -196,10 +196,11 @@ class AlgorithmParams:
     # (models/rect_scene.py) and are conservative supersets of the
     # consumed coordinates, so results are unchanged (gated by
     # tests/test_rect_cost.py + KERNEL_EQUIV).  Active only together with
-    # rect_footprint_skip on the window_grads production path.  Default
-    # off until the masked gather kernel is qualified on hardware
-    # (KERNEL_EQUIV + bench A/B — flip to True with those artifacts).
-    rect_permute_skip: bool = False
+    # rect_footprint_skip on the window_grads production path.  Hardware
+    # A/B (v5e, bench rig): 1.012 -> 1.030 MP/s (+1.8%) at the same
+    # sub-5e-3 quality gate — small on mildly-tilted rigs where the
+    # fused kernel dominates, larger where permutes are a bigger share.
+    rect_permute_skip: bool = True
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

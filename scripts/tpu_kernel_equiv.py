@@ -103,6 +103,22 @@ def main() -> int:
            permute2d(srcj, c1, r, max_span_blocks=3),
            permute2d(srcj, c1, r, interpret=True, max_span_blocks=3))
 
+    # Masked permute (config.rect_permute_skip): the row_gather output-
+    # tile mask must lower correctly on device — compare on masked-ON
+    # tiles only (off tiles are unspecified by contract).  mask2 covers
+    # pass 2's transposed [out_w, out_h] output; mask1 uses the same
+    # kernel mechanism on pass 1, so one geometry qualifies the lowering.
+    tm2 = np.zeros((out_w // 8, -(-out_h // 128)), np.int32)
+    tm2[::2] = 1
+    m2j = jnp.asarray(tm2)
+    on2 = jnp.asarray(
+        np.repeat(np.repeat(tm2 > 0, 8, 0), 128, 1)[:out_w, :out_h].T)
+    record("permute2d_mask2",
+           jnp.where(on2, permute2d(srcj, c1, r, max_span_blocks=3,
+                                    mask2=m2j), 0.0),
+           jnp.where(on2, permute2d(srcj, c1, r, interpret=True,
+                                    max_span_blocks=3, mask2=m2j), 0.0))
+
     # --- fused window-cost kernel (aligned + roll + tile mask) -----------
     hr, wr = 32, 512
     params = AlgorithmParams(box_hsize=7, box_vsize=7)
