@@ -40,9 +40,9 @@ def main() -> int:
                          "(config.rect_footprint_skip)")
     ap.add_argument("--coarse_box", type=int, default=None,
                     help="A/B: config.pyramid_coarse_box override")
-    ap.add_argument("--permute_skip", action="store_true",
-                    help="A/B: enable config.rect_permute_skip (permute-"
-                         "pass tile masks)")
+    ap.add_argument("--no_permute_skip", action="store_true",
+                    help="A/B: disable config.rect_permute_skip (permute-"
+                         "pass tile masks; default on since round 3)")
     args = ap.parse_args()
 
     import jax
@@ -85,8 +85,8 @@ def main() -> int:
         params = params.replace(rect_footprint_skip=False)
     if args.coarse_box is not None:
         params = params.replace(pyramid_coarse_box=args.coarse_box)
-    if args.permute_skip:
-        params = params.replace(rect_permute_skip=True)
+    if args.no_permute_skip:
+        params = params.replace(rect_permute_skip=False)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

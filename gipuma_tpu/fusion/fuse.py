@@ -88,62 +88,100 @@ def fuse_depthmaps(depths: np.ndarray, normals: np.ndarray, Ps: Sequence[np.ndar
         f = float(decompose_projection(np.asarray(Ps[0]))[0][0, 0])
 
     cos_thresh = float(np.cos(np.radians(params.normal_thresh)))
-    disp = lambda dpt: f * baseline / dpt
+    fb = float(f) * float(baseline)
 
     # World points per view (computed once).
     X_all = jax.vmap(_back_project_grid)(M_inv, p4, depths)
-
-    used = jnp.zeros((N, h, w), jnp.bool_)
-    out_pts, out_nrm, out_col = [], [], []
+    # Static per-view channels packed [N, H*W, 4] (d, n) so each view pair
+    # costs ONE aligned 16-byte row gather instead of four XLA gathers —
+    # the per-pair gather chain dominated the 49-view DTU-shape fusion
+    # (224 s on the 2-core CPU before).  The world point X_j is recomputed
+    # from the gathered d_j (9 mul + 6 add — cheaper than gathering 3 more
+    # channels), and the greedy `used` mask lives in the SIGN of the packed
+    # d channel (masked pixels become -1), eliminating the per-pair bool
+    # gather entirely.
+    packed0 = jnp.concatenate(
+        [depths[..., None], normals_j], -1).reshape(N, h * w, 4)
 
     @jax.jit
-    def consistency(i, used):
-        """For view i (TRACED index — one compiled executable regardless
-        of N; a static index compiled N distinct executables, each
-        unrolling an N-view loop — untenable at DTU's 49 or T&T's
-        hundreds of views): per-pixel consistent-view count, accumulated
-        point/normal sums, and the consumed-pixel marks."""
-        Xi = X_all[i]
-        ni = normals_j[i]
-        valid_i = (depths[i] > 0) & ~used[i]
-        is_i = jnp.arange(N) == i
+    def run_all(packed_in):
+        """The whole greedy view loop in ONE executable (lax.scan over the
+        reference view i with the used-sign-masked pack as carry): the
+        previous per-view jit + 3 host fetches serialized 49 dispatch
+        round-trips and re-fetched full maps every view."""
 
-        def body(carry, vin):
-            count, acc_X, acc_n = carry
-            Pj_, d_map, n_map, X_map, u_map, isi = vin
-            xi_, yi_, d_proj, inside = _project(Pj_, Xi, (h, w))
-            d_j = d_map[yi_, xi_]
-            n_j = n_map[yi_, xi_]
-            X_j = X_map[yi_, xi_]
-            u_j = u_map[yi_, xi_]
-            ok = (inside & valid_i & ~u_j & ~isi & (d_j > 0)
-                  & (jnp.abs(disp(d_j) - disp(d_proj)) < params.disp_thresh)
-                  & (jnp.sum(ni * n_j, -1) > cos_thresh))
-            count = count + ok.astype(jnp.int32)
-            acc_X = acc_X + jnp.where(ok[..., None], X_j, 0.0)
-            acc_n = acc_n + jnp.where(ok[..., None], n_j, 0.0)
-            return (count, acc_X, acc_n), (yi_, xi_, ok)
+        def consistency(packed, i):
+            Xi = X_all[i]
+            ni = normals_j[i]
+            valid_i = packed[i, :, 0].reshape(h, w) > 0
+            is_i = jnp.arange(N) == i
 
-        (count, acc_X, acc_n), (yis, xis, oks) = jax.lax.scan(
-            body, (jnp.zeros((h, w), jnp.int32), Xi, ni),
-            (Pj, depths, normals_j, X_all, used, is_i))
-        keep = valid_i & (count >= params.num_consistent)
-        denom = (count + 1).astype(jnp.float32)[..., None]
-        fused_X = acc_X / denom
-        fused_n = acc_n / jnp.maximum(
-            jnp.linalg.norm(acc_n, axis=-1, keepdims=True), 1e-12)
-        # Mark consumed pixels in other views (view i's own ok row is all
-        # False via ~is_i; its pixels are consumed by `keep` directly).
-        new_used = jax.vmap(
-            lambda u, y, x, m: u.at[y, x].max(m))(used, yis, xis, oks & keep)
-        new_used = jnp.where(is_i[:, None, None], new_used | keep, new_used)
-        return keep, fused_X, fused_n, new_used
+            def body(carry, vin):
+                count, acc_X, acc_n = carry
+                Pj_, Mi_, p4_, pk, isi = vin
+                xi_, yi_, d_proj, inside = _project(Pj_, Xi, (h, w))
+                lin = (yi_ * w + xi_).reshape(-1)
+                # _project already clipped the coords into the image.
+                g = pk.at[lin].get(
+                    mode="promise_in_bounds").reshape(h, w, 4)
+                d_j = g[..., 0]          # < 0 where invalid OR consumed
+                n_j = g[..., 1:4]
+                # Back-project the hit pixel of view j at its own depth.
+                pt = jnp.stack([d_j * xi_.astype(jnp.float32) - p4_[0],
+                                d_j * yi_.astype(jnp.float32) - p4_[1],
+                                d_j - p4_[2]], -1)
+                X_j = jnp.einsum("ab,hwb->hwa", Mi_, pt)
+                ok = (inside & valid_i & ~isi & (d_j > 0)
+                      & (jnp.abs(fb / d_j - fb / d_proj)
+                         < params.disp_thresh)
+                      & (jnp.sum(ni * n_j, -1) > cos_thresh))
+                count = count + ok.astype(jnp.int32)
+                acc_X = acc_X + jnp.where(ok[..., None], X_j, 0.0)
+                acc_n = acc_n + jnp.where(ok[..., None], n_j, 0.0)
+                return (count, acc_X, acc_n), (lin, ok)
 
+            # Inner scan over source views (measured FASTER on the 2-core
+            # CPU than batching all N views into [N, h, w] ops — 122 s vs
+            # 170 s at the 49-view DTU shape: the big materializations
+            # overwhelm the caches and XLA:CPU threads poorly either way).
+            (count, acc_X, acc_n), (lins, oks) = jax.lax.scan(
+                body, (jnp.zeros((h, w), jnp.int32), Xi, ni),
+                (Pj, M_inv, p4, packed, is_i))
+            keep = valid_i & (count >= params.num_consistent)
+            denom = (count + 1).astype(jnp.float32)[..., None]
+            fused_X = acc_X / denom
+            fused_n = acc_n / jnp.maximum(
+                jnp.linalg.norm(acc_n, axis=-1, keepdims=True), 1e-12)
+            # Mark consumed pixels: flip the packed d sign to -1 at marked
+            # slots (min is idempotent under duplicate hits, unlike mul).
+            # View i's own ok row is all False via ~is_i; its pixels are
+            # consumed by `keep` directly.
+            marks = jnp.where((oks & keep).reshape(N, h * w), -1.0,
+                              jnp.inf)
+            new_d = jax.vmap(
+                lambda dch, l, m: dch.at[l].min(m, mode="promise_in_bounds")
+            )(packed[..., 0], lins, marks)
+            new_d = jnp.where(
+                is_i[:, None],
+                jnp.where(keep.reshape(-1)[None], -1.0, new_d), new_d)
+            packed = jnp.concatenate([new_d[..., None], packed[..., 1:]],
+                                     -1)
+            return packed, (keep, fused_X, fused_n)
+
+        _, outs = jax.lax.scan(consistency, packed_in,
+                               jnp.arange(N, dtype=jnp.int32))
+        return outs
+
+    keeps, fXs, fns = run_all(packed0)
+    keeps = np.asarray(keeps)
+    fXs = np.asarray(fXs)
+    fns = np.asarray(fns)
+
+    out_pts, out_nrm, out_col = [], [], []
     for i in range(N):
-        keep, fx, fn, used = consistency(jnp.asarray(i, jnp.int32), used)
-        keep_np = np.asarray(keep)
-        out_pts.append(np.asarray(fx)[keep_np])
-        out_nrm.append(np.asarray(fn)[keep_np])
+        keep_np = keeps[i]
+        out_pts.append(fXs[i][keep_np])
+        out_nrm.append(fns[i][keep_np])
         if colors is not None:
             ci = np.asarray(colors[i])
             if ci.ndim == 2:

@@ -25,6 +25,13 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    import cv2
+    cv2.setNumThreads(0)   # numpy/thread-pool friendly: no nested pools
+    _HAVE_CV2 = True
+except ImportError:        # pragma: no cover - cv2 is in the base image
+    _HAVE_CV2 = False
+
 from ..config import AlgorithmParams
 from ..geometry.camera import Rig
 from ..geometry.rectify import rectified_bounds, rectify_pair
@@ -48,31 +55,47 @@ def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
     ops/rect_cost.py)."""
     h, w = img.shape[:2]
     C = img.shape[2]
-    Tinv = np.linalg.inv(np.asarray(T, np.float64))
-    # Homography evaluation is separable: three rank-1 grids in float64
-    # (precision for the coordinates), bilinear arithmetic in float32.
-    xs = np.arange(wr, dtype=np.float64) + lo[0]
-    ys = np.arange(hr, dtype=np.float64) + lo[1]
-    qx = Tinv[0, 0] * xs[None, :] + (Tinv[0, 1] * ys + Tinv[0, 2])[:, None]
-    qy = Tinv[1, 0] * xs[None, :] + (Tinv[1, 1] * ys + Tinv[1, 2])[:, None]
-    qz = Tinv[2, 0] * xs[None, :] + (Tinv[2, 1] * ys + Tinv[2, 2])[:, None]
-    inv = 1.0 / qz
-    xw = np.clip((qx * inv).astype(np.float32), 0.0, np.float32(w - 1))
-    yw = np.clip((qy * inv).astype(np.float32), 0.0, np.float32(h - 1))
-    x0 = np.minimum(xw.astype(np.int32), w - 2)      # floor: xw >= 0
-    y0 = np.minimum(yw.astype(np.int32), h - 2)
-    fx = np.clip(xw - x0, 0.0, 1.0)[..., None]
-    fy = np.clip(yw - y0, 0.0, 1.0)[..., None]
-    flat = img.reshape(-1, C)
-    i00 = y0.astype(np.int64) * w + x0
-    v00 = flat[i00.ravel()].reshape(hr, wr, C)
-    v01 = flat[(i00 + 1).ravel()].reshape(hr, wr, C)
-    v10 = flat[(i00 + w).ravel()].reshape(hr, wr, C)
-    v11 = flat[(i00 + w + 1).ravel()].reshape(hr, wr, C)
-    top = v00 + fx * (v01 - v00)
-    bot = v10 + fx * (v11 - v10)
-    warped = top + fy * (bot - top)                  # [hr, wr, C]
-    chw = np.moveaxis(warped, -1, 0)                 # [C, hr, wr]
+    if _HAVE_CV2 and C <= 4:
+        # OpenCV homography warp: ~27x the numpy gather chain (measured at
+        # DTU rect shapes — the gather chain dominated full-scale prep).
+        # INTER_LINEAR quantizes sample coords to 1/32 px: max abs image
+        # error ~3e-4 of the value range, below the bf16 tap-packing noise
+        # (2e-3 relative) the cost path already carries.  BORDER_REPLICATE
+        # == the clamp-to-edge semantics of the exact path below.
+        M = np.array([[1.0, 0.0, -lo[0]], [0.0, 1.0, -lo[1]],
+                      [0.0, 0.0, 1.0]]) @ np.asarray(T, np.float64)
+        warped = cv2.warpPerspective(
+            np.ascontiguousarray(img), M, (wr, hr),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+        if warped.ndim == 2:
+            warped = warped[..., None]
+        chw = np.moveaxis(warped, -1, 0)             # [C, hr, wr]
+    else:
+        Tinv = np.linalg.inv(np.asarray(T, np.float64))
+        # Homography evaluation is separable: three rank-1 grids in float64
+        # (precision for the coordinates), bilinear arithmetic in float32.
+        xs = np.arange(wr, dtype=np.float64) + lo[0]
+        ys = np.arange(hr, dtype=np.float64) + lo[1]
+        qx = Tinv[0, 0] * xs[None, :] + (Tinv[0, 1] * ys + Tinv[0, 2])[:, None]
+        qy = Tinv[1, 0] * xs[None, :] + (Tinv[1, 1] * ys + Tinv[1, 2])[:, None]
+        qz = Tinv[2, 0] * xs[None, :] + (Tinv[2, 1] * ys + Tinv[2, 2])[:, None]
+        inv = 1.0 / qz
+        xw = np.clip((qx * inv).astype(np.float32), 0.0, np.float32(w - 1))
+        yw = np.clip((qy * inv).astype(np.float32), 0.0, np.float32(h - 1))
+        x0 = np.minimum(xw.astype(np.int32), w - 2)      # floor: xw >= 0
+        y0 = np.minimum(yw.astype(np.int32), h - 2)
+        fx = np.clip(xw - x0, 0.0, 1.0)[..., None]
+        fy = np.clip(yw - y0, 0.0, 1.0)[..., None]
+        flat = img.reshape(-1, C)
+        i00 = y0.astype(np.int64) * w + x0
+        v00 = flat[i00.ravel()].reshape(hr, wr, C)
+        v01 = flat[(i00 + 1).ravel()].reshape(hr, wr, C)
+        v10 = flat[(i00 + w).ravel()].reshape(hr, wr, C)
+        v11 = flat[(i00 + w + 1).ravel()].reshape(hr, wr, C)
+        top = v00 + fx * (v01 - v00)
+        bot = v10 + fx * (v11 - v10)
+        warped = top + fy * (bot - top)              # [hr, wr, C]
+        chw = np.moveaxis(warped, -1, 0)             # [C, hr, wr]
     if not grads:
         return chw
     gx = np.empty_like(chw)
@@ -119,9 +142,10 @@ def _affine_fill(vals_y, vals_x, valid, step: int = 16):
     A = np.stack([sx[v], sy[v], np.ones(int(v.sum()))], axis=-1)
     cy, *_ = np.linalg.lstsq(A, vals_y[::step, ::step][v], rcond=None)
     cx, *_ = np.linalg.lstsq(A, vals_x[::step, ::step][v], rcond=None)
-    gy, gx = np.mgrid[0:H, 0:W]
-    fit_y = cy[0] * gx + cy[1] * gy + cy[2]
-    fit_x = cx[0] * gx + cx[1] * gy + cx[2]
+    ax = np.arange(W, dtype=np.float64)
+    ay = np.arange(H, dtype=np.float64)
+    fit_y = (cy[1] * ay + cy[2])[:, None] + (cy[0] * ax)[None, :]
+    fit_x = (cx[1] * ay + cx[2])[:, None] + (cx[0] * ax)[None, :]
     return (np.where(valid, vals_y, fit_y),
             np.where(valid, vals_x, fit_x))
 
@@ -353,8 +377,15 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         cq_s = cq_s[:, :2] / cq_s[:, 2:3]
         c8 = np.concatenate([cq_r, cq_s], axis=0)           # [8, 2]
         bs = np.linspace(-2.0, 2.0, 161)
-        col_slope = np.quantile(np.abs(du[None] + bs[:, None] * dv[None]),
-                                0.02, axis=1)
+        # Subsample the slope field for the shear search: the 0.02
+        # quantile over ~8k points matches the full grid to ~1e-3 and the
+        # [161, n] quantile dominated DTU-scale prep at full n (~160k).
+        sl_stride = max(1, du.size // 8192)
+        du_s = du[::sl_stride].astype(np.float32)
+        dv_s = dv[::sl_stride].astype(np.float32)
+        col_slope = np.quantile(
+            np.abs(du_s[None] + bs[:, None].astype(np.float32) * dv_s[None]),
+            0.02, axis=1)
         a_need = np.clip(slope_req / np.maximum(col_slope, 1e-3),
                          1.0, scale_cap)
         u = c8[None, :, 0] + bs[:, None] * c8[None, :, 1]   # [nb, 8]
@@ -426,13 +457,20 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             T_inv = np.linalg.inv(rect.T_ref)
 
             # Rect-pixel pre-images on the k-rotated reference grid.
-            ys, xs = np.meshgrid(np.arange(hr, dtype=np.float64),
-                                 np.arange(wr, dtype=np.float64),
-                                 indexing="ij")
-            qh = np.stack([xs + lo[0], ys + lo[1], np.ones_like(xs)],
-                          -1) @ T_inv.T
-            xr = qh[..., 0] / qh[..., 2]
-            yr = qh[..., 1] / qh[..., 2]
+            # Rank-1 separable homography evaluation (row/col 1-D parts
+            # instead of an [hr, wr, 3] stack @ matmul — the full-size f64
+            # temporaries dominated prep at DTU scale).
+            xg = np.arange(wr, dtype=np.float64) + lo[0]
+            yg = np.arange(hr, dtype=np.float64) + lo[1]
+            qx = T_inv[0, 0] * xg[None, :] + \
+                (T_inv[0, 1] * yg + T_inv[0, 2])[:, None]
+            qy_h = T_inv[1, 0] * xg[None, :] + \
+                (T_inv[1, 1] * yg + T_inv[1, 2])[:, None]
+            qz = T_inv[2, 0] * xg[None, :] + \
+                (T_inv[2, 1] * yg + T_inv[2, 2])[:, None]
+            inv_z = 1.0 / qz
+            xr = qx * inv_z
+            yr = qy_h * inv_z
             in_ref = ((xr > -0.5) & (xr < w - 0.5)
                       & (yr > -0.5) & (yr < h - 0.5))
             yk, xk = _land(yr, xr, k_rot, h, w)
@@ -440,15 +478,33 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             # Reference-pixel rect positions (k-rotated full grid; the
             # compressed half-grid's active-x zigzag breaks smoothness, so
             # the cost_fn un-rotates and compresses afterwards).
-            sk, lk = np.meshgrid(np.arange(s_sq, dtype=np.float64),
-                                 np.arange(s_sq, dtype=np.float64),
-                                 indexing="ij")
-            yy, xx = _unland(sk, lk, k_rot, h, w)
+            # _unland is an affine coordinate permutation, so both the
+            # un-rotated coords and the homography numerators are rank-1
+            # separable in (sk, lk) — probe the three basis points instead
+            # of building [s_sq, s_sq, 3] stacks (prep hot path).
+            ss = np.arange(s_sq, dtype=np.float64)
+            y00, x00 = _unland(0.0, 0.0, k_rot, h, w)
+            y10, x10 = _unland(1.0, 0.0, k_rot, h, w)
+            y01, x01 = _unland(0.0, 1.0, k_rot, h, w)
+            cys, cyl = y10 - y00, y01 - y00
+            cxs, cxl = x10 - x00, x01 - x00
+            yy = (y00 + cys * ss)[:, None] + (cyl * ss)[None, :]
+            xx = (x00 + cxs * ss)[:, None] + (cxl * ss)[None, :]
             orig_ok = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
-            qa = np.stack([xx, yy, np.ones_like(xx)], -1) @ rect.T_ref.T
+            Tr = rect.T_ref
+
+            def _q(j):
+                rs = (Tr[j, 0] * cxs + Tr[j, 1] * cys) * ss
+                cs = (Tr[j, 0] * cxl + Tr[j, 1] * cyl) * ss + (
+                    Tr[j, 0] * x00 + Tr[j, 1] * y00 + Tr[j, 2])
+                return rs[:, None] + cs[None, :]
+
             with np.errstate(invalid="ignore", divide="ignore"):
-                xl = qa[..., 0] / qa[..., 2] - lo[0]
-                yl = qa[..., 1] / qa[..., 2] - lo[1]
+                qa_inv = 1.0 / _q(2)
+                xl = _q(0) * qa_inv - lo[0]
+                yl = _q(1) * qa_inv - lo[1]
+            sk = np.broadcast_to(np.arange(s_sq)[:, None], (s_sq, s_sq))
+            lk = np.broadcast_to(np.arange(s_sq)[None, :], (s_sq, s_sq))
             # Smooth (affine-trend) fill for slots outside the image:
             # raw projective values explode near the horizon and constant
             # fills jump — both blow the per-tile span at scale.
@@ -464,7 +520,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             n_dup = flat_q.size - len(np.unique(flat_q))
 
             # (b) return table: p -> q(p) slot contention.
-            ret = build_tables(qy, qx, hr, wr, valid=orig_ok)
+            ret = build_tables(qy, qx, hr, wr, valid=orig_ok,
+                               fill_mode="affine")
             n_bad_ret = int(ret.affected[orig_ok].sum())
 
             # (c) forward table: deliver m_p to q(p); ONLY targets are
@@ -481,13 +538,14 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             tgt[qy[orig_ok], qx[orig_ok]] = True
             R_f[qy[orig_ok], qx[orig_ok]] = sk[orig_ok]
             C_f[qy[orig_ok], qx[orig_ok]] = lk[orig_ok]
-            fwd = build_tables(R_f, C_f, s_sq, s_sq, valid=tgt)
+            fwd = build_tables(R_f, C_f, s_sq, s_sq, valid=tgt,
+                               fill_mode="affine")
             n_bad_fwd = int(fwd.affected[tgt].sum())
 
             bad_frac = (n_dup + n_bad_ret + n_bad_fwd) / max(n_valid, 1)
             if bad_frac <= routing_budget:
                 built = (rect, lo, hr, wr, in_ref, orig_ok, fwd, ret,
-                         tgt, bad_frac)
+                         tgt, bad_frac, (qy, qx, R_f, C_f))
                 break
             last_err = (f"plane routing {bad_frac:.2%} inexact "
                         f"(dup {n_dup}, ret {n_bad_ret}, fwd {n_bad_fwd})")
@@ -495,7 +553,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             a_scale = min(a_scale * 1.2, 4.0)
         if built is None:
             raise RectifyUnsupported(f"view {v}: {last_err}")
-        rect, lo, hr, wr, in_ref, orig_ok, fwd, ret, tgt, bad_frac = built
+        (rect, lo, hr, wr, in_ref, orig_ok, fwd, ret, tgt, bad_frac,
+         tbl_inputs) = built
 
         src_img = np.asarray(images[v], np.float32)
         if src_img.ndim == 2:
@@ -551,10 +610,21 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
 
         # Permutation-table span bound, per pair: a too-distorted map
         # cannot use the scratch-window gather (ops/permute2d).
-        span_p = max(tile_span_blocks(fwd.c1),
-                     tile_span_blocks(np.ascontiguousarray(fwd.r.T)),
-                     tile_span_blocks(ret.c1),
-                     tile_span_blocks(np.ascontiguousarray(ret.r.T)))
+        def _span(f, r):
+            return max(tile_span_blocks(f.c1),
+                       tile_span_blocks(f.r, transposed=True),
+                       tile_span_blocks(r.c1),
+                       tile_span_blocks(r.r, transposed=True))
+
+        span_p = _span(fwd, ret)
+        if span_p > 6:
+            # The cheap affine fill rarely (never on the tested rigs)
+            # inflates the span; when it does, pay for the per-column
+            # inverse-interpolation fill before giving up on the pair.
+            qy_i, qx_i, R_fi, C_fi = tbl_inputs
+            ret = build_tables(qy_i, qx_i, hr, wr, valid=orig_ok)
+            fwd = build_tables(R_fi, C_fi, s_sq, s_sq, valid=tgt)
+            span_p = _span(fwd, ret)
         if span_p > 6:
             raise RectifyUnsupported(
                 f"view {v}: permutation tables need {span_p} 128-col "

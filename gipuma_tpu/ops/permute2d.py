@@ -71,11 +71,14 @@ def _smooth_fill(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
     rows = np.arange(in_h, dtype=np.float64)
 
     # Sort each column's valid (R, C) pairs by R; invalids sort to the end.
+    # int32 keys + f32 values: the f64 argsort/take chain dominated this
+    # function at image scale (indices are < 2^24, exact in f32).
     big = float(in_h + 2)
-    xp = np.where(valid, R.astype(np.float64), big)
+    xp = np.where(valid, R, in_h + 2).astype(np.int32)
     order = np.argsort(xp, axis=0, kind="stable")
-    xs = np.take_along_axis(xp, order, axis=0).T            # [out_w, out_h]
-    fs = np.take_along_axis(C.astype(np.float64), order, axis=0).T
+    xs = np.take_along_axis(xp, order, axis=0).T.astype(np.float32)
+    fs = np.take_along_axis(C.astype(np.int32), order,
+                            axis=0).T.astype(np.float32)  # [out_w, out_h]
     cnt = valid.sum(axis=0)                                 # [out_w]
     good = cnt >= 2
 
@@ -95,7 +98,7 @@ def _smooth_fill(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
     f0 = np.take_along_axis(fs, lo, axis=1)
     f1 = np.take_along_axis(fs, hi, axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        t = (rows[None, :] - x0) / (x1 - x0)
+        t = (rows.astype(np.float32)[None, :] - x0) / (x1 - x0)
     t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
     fill_t = f0 + t * (f1 - f0)                             # [out_w, in_h]
 
@@ -118,8 +121,36 @@ def _smooth_fill(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
     return np.clip(np.round(fill_t.T), 0, in_w - 1).astype(np.int64)
 
 
+def _affine_fill_c1(R: np.ndarray, C: np.ndarray, valid: np.ndarray,
+                    in_h: int, in_w: int, step: int = 16) -> np.ndarray:
+    """Cheap smooth fill for the pass-1 table: global affine (least-
+    squares) fit of C over (column l, target row R) on a sampled grid.
+
+    Fill values only need SMOOTHNESS (they bound the scratch-window gather
+    span; non-consumed slots are never read back — see _smooth_fill), and
+    the affine trend of a rectification map is as smooth as it gets.  The
+    per-column inverse interpolation (_smooth_fill) is ~50x this cost at
+    image scale; callers retry with it only if the span bound breaks."""
+    out_h, out_w = R.shape
+    sub_R = R[::step, ::step]
+    sub_v = valid[::step, ::step]
+    if sub_v.sum() < 8:
+        return _smooth_fill(R, C, valid, in_h, in_w)
+    ls = np.broadcast_to(
+        np.arange(0, out_w, step, dtype=np.float64)[None, :], sub_R.shape)
+    n = int(sub_v.sum())
+    A = np.stack([ls[sub_v], sub_R[sub_v].astype(np.float64),
+                  np.ones(n)], axis=-1)
+    c, *_ = np.linalg.lstsq(A, C[::step, ::step][sub_v].astype(np.float64),
+                            rcond=None)
+    fill = (c[1] * np.arange(in_h, dtype=np.float64))[:, None] + \
+        (c[0] * np.arange(out_w, dtype=np.float64) + c[2])[None, :]
+    return np.clip(np.round(fill), 0, in_w - 1).astype(np.int64)
+
+
 def build_tables(R: np.ndarray, C: np.ndarray, in_h: int, in_w: int,
-                 valid: np.ndarray | None = None) -> PermuteTables:
+                 valid: np.ndarray | None = None,
+                 fill_mode: str = "interp") -> PermuteTables:
     """Build 2-pass tables for out[s, l] = in[R[s, l], C[s, l]].
 
     R, C: integer arrays [out_h, out_w]; values are clipped into range.
@@ -127,27 +158,39 @@ def build_tables(R: np.ndarray, C: np.ndarray, in_h: int, in_w: int,
         not matter (e.g. the map left the source image and was clamped).
         They are excluded from table construction so they cannot steal
         slots from real outputs, and read whatever their slot holds.
+    fill_mode: "interp" (per-column inverse interpolation, _smooth_fill)
+        or "affine" (global affine fit — ~50x cheaper, same smoothness
+        class for rectification maps; written slots and the `affected`
+        accounting are identical under either fill).
     """
-    R = np.clip(np.asarray(R, np.int64), 0, in_h - 1)
-    C = np.clip(np.asarray(C, np.int64), 0, in_w - 1)
+    # int32 throughout: table indices are < 2^24 and flat slots < 2^31;
+    # the int64 passes doubled build_tables' memory traffic at DTU scale.
+    R = np.clip(np.asarray(R).astype(np.int32, copy=False), 0, in_h - 1)
+    C = np.clip(np.asarray(C).astype(np.int32, copy=False), 0, in_w - 1)
     out_h, out_w = R.shape
     if valid is None:
         valid = np.ones(R.shape, bool)
-    l = np.broadcast_to(np.arange(out_w), R.shape)
-    flat = (R * out_w + l)[valid]
+    l = np.broadcast_to(np.arange(out_w, dtype=np.int32), R.shape)
+    flat_all = R * np.int32(out_w) + l
+    flat = flat_all[valid]
 
     # Scatter C into the pass-1 table; detect slot contention by comparing
     # min- and max-scatters (same-value collisions are harmless).
-    cmin = np.full(in_h * out_w, np.iinfo(np.int64).max, np.int64)
-    cmax = np.full(in_h * out_w, -1, np.int64)
-    np.minimum.at(cmin, flat, C[valid])
-    np.maximum.at(cmax, flat, C[valid])
+    cmin = np.full(in_h * out_w, np.iinfo(np.int32).max, np.int32)
+    cmax = np.full(in_h * out_w, -1, np.int32)
+    cv = C[valid]
+    np.minimum.at(cmin, flat, cv)
+    np.maximum.at(cmax, flat, cv)
     written = cmax >= 0
     conflicts = int(np.sum((cmax - cmin)[written] > 0))
 
-    fill = _smooth_fill(R, C, valid, in_h, in_w).ravel()
-    c1 = np.where(written, np.clip(cmin, 0, in_w - 1), fill)
-    affected = (c1[R * out_w + l] != C) & valid
+    if fill_mode == "affine":
+        fill = _affine_fill_c1(R, C, valid, in_h, in_w).ravel()
+    else:
+        fill = _smooth_fill(R, C, valid, in_h, in_w).ravel()
+    c1 = np.where(written, np.clip(cmin, 0, in_w - 1),
+                  fill.astype(np.int32, copy=False))
+    affected = (c1[flat_all] != C) & valid
     c1 = c1.reshape(in_h, out_w).astype(np.float32)
     return PermuteTables(c1=c1, r=R.astype(np.float32), in_h=in_h,
                          in_w=in_w, conflicts=conflicts, affected=affected)
@@ -178,7 +221,8 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     kernel's fast scratch-window path.
 
     mask1 / mask2: optional int32 output-tile masks for the two gather
-    passes (see models/rect_scene.build_permute_masks): mask1 is
+    passes (built inline in models/rect_scene.build_rect_scene — the
+    fwd2_ok / ret1_ok permutation-pass tile masks): mask1 is
     [ceil(in_h/8), ceil(out_w/128)] over pass 1's [in_h, out_w] output,
     mask2 is [ceil(out_w/8), ceil(out_h/128)] over pass 2's TRANSPOSED
     [out_w, out_h] output.  Masked-off [8, 128] tiles do no work and hold
@@ -202,18 +246,51 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     return out[0] if squeeze else out
 
 
-def tile_span_blocks(x: np.ndarray) -> int:
+def _tile_minmax(x: np.ndarray, bh: int, bw: int):
+    """Per-[bh, bw]-tile (min, max) of a 2-D array; partial edge tiles use
+    their true extents (equivalent to the former edge-replicated pad)."""
+    h, w = x.shape
+    nth, ntw = -(-h // bh), -(-w // bw)
+    h0, w0 = (h // bh) * bh, (w // bw) * bw
+    mn = np.empty((nth, ntw), x.dtype)
+    mx = np.empty((nth, ntw), x.dtype)
+    if h0 and w0:
+        c = np.ascontiguousarray(x[:h0, :w0]).reshape(
+            h0 // bh, bh, w0 // bw, bw)
+        mn[:h0 // bh, :w0 // bw] = c.min(axis=(1, 3))
+        mx[:h0 // bh, :w0 // bw] = c.max(axis=(1, 3))
+    if w0 < w and h0:
+        e = np.ascontiguousarray(x[:h0, w0:]).reshape(h0 // bh, -1)
+        mn[:h0 // bh, -1] = e.min(axis=1)
+        mx[:h0 // bh, -1] = e.max(axis=1)
+    if h0 < h and w0:
+        e = np.ascontiguousarray(x[h0:, :w0]).reshape(-1, w0 // bw, bw)
+        mn[-1, :w0 // bw] = e.min(axis=(0, 2))
+        mx[-1, :w0 // bw] = e.max(axis=(0, 2))
+    if h0 < h and w0 < w:
+        e = x[h0:, w0:]
+        mn[-1, -1] = e.min()
+        mx[-1, -1] = e.max()
+    return mn, mx
+
+
+def tile_span_blocks(x: np.ndarray, transposed: bool = False) -> int:
     """Worst-case number of 128-column source blocks any [8, 128] tile of
     gather positions `x` touches (the row_gather scratch-window bound),
-    accounting for arbitrary 128-block alignment of the window base."""
-    h, w = x.shape
-    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
-    xp = np.pad(x, ((0, hp - h), (0, wp - w)), mode="edge")
-    tiles = xp.reshape(hp // 8, 8, wp // 128, 128)
-    x0 = np.floor(tiles).astype(np.int64)
-    mn = x0.min(axis=(1, 3))
-    mx = x0.max(axis=(1, 3)) + 1
-    return int(((mx - (mn // 128) * 128) // 128 + 1).max())
+    accounting for arbitrary 128-block alignment of the window base.
+
+    transposed=True measures x.T without materializing it ([128, 8] tiles
+    of x have the same per-tile value sets as [8, 128] tiles of x.T).
+
+    Blocked f32 min/max (not a padded full-array floor/int cast): this
+    function ran 32 times per DTU-scale rect build and dominated prep
+    (~3 s/call on multi-megapixel tables before the rewrite)."""
+    bh, bw = (128, 8) if transposed else (8, 128)
+    mn, mx = _tile_minmax(np.asarray(x), bh, bw)
+    # floor is monotone: per-tile floor-min == floor(per-tile min).
+    x0 = np.floor(mn).astype(np.int64)
+    x1 = np.floor(mx).astype(np.int64) + 1
+    return int(((x1 - (x0 // 128) * 128) // 128 + 1).max())
 
 
 def permute2d_take(x: jnp.ndarray, R: jnp.ndarray, C: jnp.ndarray

@@ -65,6 +65,25 @@ def main() -> int:
     pts, nrm, col = fuse_depthmaps(depths, normals, Ps, params, f=focal)
     t_fuse = time.perf_counter() - t0
 
+    # Optional: the view-sharded fusion on the virtual 8-device CPU mesh
+    # at the SAME shape (VERDICT r3 item 5).  Run with
+    #   XLA_FLAGS=--xla_force_host_platform_device_count=8 ... --sharded
+    t_sharded = None
+    sharded_pts = None
+    if "--sharded" in sys.argv:
+        import jax
+        from jax.sharding import Mesh
+
+        from gipuma_tpu.fusion.sharded import fuse_depthmaps_sharded
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("view",))
+        t0 = time.perf_counter()
+        pts_s, _, _ = fuse_depthmaps_sharded(depths, normals, Ps, params,
+                                             mesh, f=focal)
+        t_sharded = time.perf_counter() - t0
+        sharded_pts = int(len(pts_s))
+        assert sharded_pts == len(pts), (sharded_pts, len(pts))
+
     # Ground-truth cloud: the exact plane intersections of view 0 (the
     # analytic surface sampled at sensor resolution).
     X0, _ = intersect_plane(Ps[0], h, w, n_pl, d_pl)
@@ -95,7 +114,31 @@ def main() -> int:
                  "noise + 1% gross outliers injected per view; matches "
                  "the dtu_fast fusion job shape (49 views, "
                  "scripts/dtu_fast.sh:56-57) at 0.5x resolution"),
+        "dtu_metric_mapping": (
+            "Once real DTU imagery exists (DATA_REQUEST.md #3): run "
+            "scripts/run_real_dataset.sh <scan> with the dtu_fast preset "
+            "(49 ref views, fusion disp_thresh 0.1 / normal_thresh 30 / "
+            "num_consistent 3 — scripts/dtu_fast.sh:24-26,56-57), then "
+            "eval/metrics.accuracy_completeness(fused_pts, gt_pts) "
+            "against the DTU structured-light reference cloud: accuracy "
+            "= median distance fused->GT, completeness = median GT->"
+            "fused, both in mm (pass max_dist=20 for the standard DTU "
+            "outlier cut) — the same median-based definition as the "
+            "ICCV'15 table "
+            "(BASELINE.md).  The bar is within 2% of the reference "
+            "binary's numbers on the same scan (BASELINE.json); the "
+            "acc/comp printed here is this metric on the synthetic "
+            "plane scene (noise floor ~1 mm by construction of the "
+            "injected 0.1% depth noise at 550 mm)."),
     }
+    if t_sharded is not None:
+        out["sharded_8dev_seconds"] = round(t_sharded, 2)
+        out["sharded_points"] = sharded_pts
+        out["sharded_note"] = (
+            "fusion/sharded.py on the virtual 8-device CPU mesh (2 real "
+            "cores — wall time is contention-bound, the artifact is the "
+            "point-for-point EQUALITY with the single-device result plus "
+            "the psum composition compiling/executing at the real shape)")
     print(json.dumps(out))
     (ROOT / "FUSION_SCALE.json").write_text(json.dumps(out, indent=1))
     return 0

@@ -79,8 +79,9 @@ def test_pyramid_fine_trims_quality():
 
     # pyramid_coarse_box (config.py): shrinking the coarse-level window
     # (which still covers a LARGER physical footprint than the fine box)
-    # must stay in the same error class — median AND p99 — as the plain
-    # trimmed schedule.  Gates the bench configuration's coarse trim.
+    # must stay in the same error class — median AND p99 — as the
+    # UNTRIMMED pyramid (gating against the trimmed schedule would let
+    # chained 2x allowances drift to 4x the untrimmed error — advisor r3).
     med_c, p99_c = run(trimmed.replace(pyramid_coarse_box=7))
-    assert med_c < max(2.0 * med_t, 5e-3), (med_c, med_t)
-    assert p99_c < max(2.0 * p99_t, 5e-2), (p99_c, p99_t)
+    assert med_c < max(2.0 * med_u, 5e-3), (med_c, med_u)
+    assert p99_c < max(2.0 * p99_u, 5e-2), (p99_c, p99_u)

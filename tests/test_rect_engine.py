@@ -188,7 +188,14 @@ def test_permute_skip_is_exact():
     return-permute pass-1 tiles that hold no consumed coordinate must not
     change any per-view cost the engine consumes — the masks are built as
     conservative supersets of the read-back-target set
-    (models/rect_scene.build_rect_scene)."""
+    (models/rect_scene.build_rect_scene).
+
+    Caveat (advisor r3): in interpret mode skipped output tiles read as
+    ZEROS, so this CPU test cannot detect a consumed coordinate reading
+    stale VMEM on real hardware — the device lowering of the masked
+    kernel is qualified by scripts/tpu_kernel_equiv.py (the
+    `permute2d_mask2` entry, kept in the routine device set so the masked
+    path is re-checked after Pallas/jax upgrades)."""
     import jax.numpy as jnp
 
     from gipuma_tpu.ops.rect_cost import rect_per_view_costs_batch
