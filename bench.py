@@ -40,6 +40,19 @@ def main() -> int:
                          "(config.rect_footprint_skip)")
     ap.add_argument("--coarse_box", type=int, default=None,
                     help="A/B: config.pyramid_coarse_box override")
+    ap.add_argument("--two_stage", action="store_true",
+                    help="A/B: config.rect_two_stage_cull — sparse-window "
+                         "candidate screening, full window only for the "
+                         "per-pixel winner (VERDICT r3 item 3)")
+    ap.add_argument("--texture", choices=("noise", "sos"), default="noise",
+                    help="gate-scene texture (utils/synthetic.TEXTURES). "
+                         "Default: band-limited aperiodic noise — the "
+                         "near-periodic 'sos' family produces warp-"
+                         "ambiguous minima at full scale (PARITY.md) and "
+                         "is kept only for A/B continuity with rounds 1-3. "
+                         "Texture does not affect timing (identical "
+                         "geometry/tables/executables), only the quality "
+                         "gate.")
     ap.add_argument("--no_permute_skip", action="store_true",
                     help="A/B: disable config.rect_permute_skip (permute-"
                          "pass tile masks; default on since round 3)")
@@ -54,7 +67,8 @@ def main() -> int:
 
     h, w, n_views = 480, 640, 7
     images, rig, gt, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
-                                     plane_depth=5.0, slant=(0.2, -0.1))
+                                     plane_depth=5.0, slant=(0.2, -0.1),
+                                     texture=args.texture)
     Ps = make_ring_P(n_views, h, w, 800.0, target_depth=5.0)
     names = [f"cam{i:03d}" for i in range(n_views)]
     depth_min, depth_max = 3.0, 8.0
@@ -87,6 +101,8 @@ def main() -> int:
         params = params.replace(pyramid_coarse_box=args.coarse_box)
     if args.no_permute_skip:
         params = params.replace(rect_permute_skip=False)
+    if args.two_stage:
+        params = params.replace(rect_two_stage_cull=True)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

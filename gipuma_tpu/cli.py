@@ -90,7 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--normal_thresh", type=float, default=30.0)
     p.add_argument("--num_consistent", type=int, default=3)
     # GT evaluation (main.cpp:378-385)
-    p.add_argument("-gt", default=None, help="ground-truth depth (dmb/pfm)")
+    p.add_argument("-gt", default=None,
+                   help="ground-truth depth (dmb/pfm/png); in batch mode a "
+                        "per-view template with {name}/{idx} placeholders, "
+                        "e.g. 'gt/{name}.pfm' or 'depth_{idx:03d}.dmb'")
     p.add_argument("--gt_tol", type=float, default=1.0)
     p.add_argument("--gt_tol2", type=float, default=None,
                    help="second error tolerance (default 2*gt_tol)")
@@ -180,9 +183,13 @@ def main(argv=None) -> int:
         print(f"{r.ref_name}: {r.runtime_s:.2f}s, views={r.view_subset}, "
               f"depth=[{r.depth_min:.3f},{r.depth_max:.3f}]")
 
-    if args.gt and len(results) == 1:
+    if args.gt:
         # GT evaluation (computeError / computeNormalError capability,
-        # groundTruthUtils.h:22-139, flags at main.cpp:378-385).
+        # groundTruthUtils.h:22-139, flags at main.cpp:378-385), for EVERY
+        # produced view — the reference evaluates inside every script-loop
+        # invocation (main.cpp:1087-1163).  -gt/-gt_nocc/-gt_normal accept
+        # per-view templates with {name} (reference image stem) and {idx}
+        # (camera index) placeholders; a plain path applies to all views.
         from .eval.metrics import depth_error, normal_error
         from .io.dmb import read_dmb
         from .io.images import decode_normal_map_16u, load_image, \
@@ -205,33 +212,75 @@ def main(argv=None) -> int:
             # 16-bit image GT normals: n*32767+32767 (main.cpp:800-817).
             return decode_normal_map_16u(load_image_raw(path))
 
+        def _resolve(template, stem, idx):
+            try:
+                return template.format(name=stem, idx=idx)
+            except (KeyError, IndexError, ValueError):
+                return template
+
         occl = (load_image(args.occl_mask) > 0 if args.occl_mask else None)
-        rep = depth_error(results[0].depth, _read_map(args.gt),
-                          tol=args.gt_tol, tol2=args.gt_tol2,
-                          occlusion_mask=occl)
-        print(f"GT error rate @{args.gt_tol}: {rep.error_rate:.4f} "
-              f"@tol2 {rep.error_rate_tol2:.4f} "
-              f"nocc {rep.error_rate_nocc:.4f} "
-              f"(mean abs {rep.mean_abs_error:.4f})")
-        # Error-map PNGs (main.cpp:1123-1139).
-        save_png(out_root / "gt_error.png",
-                 (rep.error_map * 255).astype(np.uint8))
-        if args.gt_nocc:
-            rep_n = depth_error(results[0].depth, _read_map(args.gt_nocc),
-                                tol=args.gt_tol, tol2=args.gt_tol2)
-            print(f"GT(nocc file) error rate @{args.gt_tol}: "
-                  f"{rep_n.error_rate:.4f}")
-            save_png(out_root / "gt_error_nocc.png",
-                     (rep_n.error_map * 255).astype(np.uint8))
-        if args.gt_normal:
-            nrep = normal_error(results[0].normals,
-                                _read_normal_map(args.gt_normal))
-            print(f"GT normal error: >=0.2rad {nrep.error_rate_02:.4f} "
-                  f">=0.3rad {nrep.error_rate_03:.4f} "
-                  f"(mean {nrep.mean_angle_rad:.4f} rad)")
-            ang = np.nan_to_num(nrep.angle_map, nan=np.pi)
-            save_png(out_root / "gt_normal_error.png",
-                     np.clip(ang / np.pi * 255, 0, 255).astype(np.uint8))
+        for r in results:
+            stem = Path(r.ref_name).stem
+            idx = names.index(r.ref_name) if r.ref_name in names else 0
+            vdir = out_root / stem
+            gt_path = _resolve(args.gt, stem, idx)
+            if not Path(gt_path).exists():
+                print(f"{stem}: GT file {gt_path} not found — skipping "
+                      "eval", file=sys.stderr)
+                continue
+            rep = depth_error(r.depth, _read_map(gt_path),
+                              tol=args.gt_tol, tol2=args.gt_tol2,
+                              occlusion_mask=occl)
+            print(f"{stem}: GT error rate @{args.gt_tol}: "
+                  f"{rep.error_rate:.4f} "
+                  f"@tol2 {rep.error_rate_tol2:.4f} "
+                  f"nocc {rep.error_rate_nocc:.4f} "
+                  f"(mean abs {rep.mean_abs_error:.4f})")
+            # Error-map PNGs (main.cpp:1123-1139) into the view's own
+            # results directory, metrics appended to its results.txt.
+            save_png(vdir / "gt_error.png",
+                     (rep.error_map * 255).astype(np.uint8))
+            gt_lines = [
+                f"gt_file {gt_path}",
+                f"error_rate_tol{args.gt_tol} {rep.error_rate:.6f}",
+                f"error_rate_tol2 {rep.error_rate_tol2:.6f}",
+                f"error_rate_nocc {rep.error_rate_nocc:.6f}",
+                f"mean_abs_error {rep.mean_abs_error:.6f}",
+            ]
+            if args.gt_nocc:
+                nocc_path = _resolve(args.gt_nocc, stem, idx)
+                if Path(nocc_path).exists():
+                    rep_n = depth_error(r.depth, _read_map(nocc_path),
+                                        tol=args.gt_tol, tol2=args.gt_tol2)
+                    print(f"{stem}: GT(nocc file) error rate "
+                          f"@{args.gt_tol}: {rep_n.error_rate:.4f}")
+                    save_png(vdir / "gt_error_nocc.png",
+                             (rep_n.error_map * 255).astype(np.uint8))
+                    gt_lines.append(
+                        f"error_rate_nocc_file {rep_n.error_rate:.6f}")
+            if args.gt_normal:
+                nrm_path = _resolve(args.gt_normal, stem, idx)
+                if Path(nrm_path).exists():
+                    nrep = normal_error(r.normals,
+                                        _read_normal_map(nrm_path))
+                    print(f"{stem}: GT normal error: "
+                          f">=0.2rad {nrep.error_rate_02:.4f} "
+                          f">=0.3rad {nrep.error_rate_03:.4f} "
+                          f"(mean {nrep.mean_angle_rad:.4f} rad)")
+                    ang = np.nan_to_num(nrep.angle_map, nan=np.pi)
+                    save_png(vdir / "gt_normal_error.png",
+                             np.clip(ang / np.pi * 255, 0,
+                                     255).astype(np.uint8))
+                    gt_lines += [
+                        f"normal_error_02 {nrep.error_rate_02:.6f}",
+                        f"normal_error_03 {nrep.error_rate_03:.6f}",
+                        f"normal_mean_rad {nrep.mean_angle_rad:.6f}"]
+            try:
+                with open(vdir / "results.txt", "a") as fh:
+                    fh.write("\n".join(gt_lines) + "\n")
+            except OSError as e:
+                print(f"{stem}: could not append GT metrics to "
+                      f"results.txt: {e}", file=sys.stderr)
 
     if args.fuse:
         from .fusion.fuse import fuse_depthmaps

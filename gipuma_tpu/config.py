@@ -201,6 +201,21 @@ class AlgorithmParams:
     # sub-5e-3 quality gate — small on mildly-tilted rigs where the
     # fused kernel dominates, larger where permutes are a bigger share.
     rect_permute_skip: bool = True
+    # Two-stage candidate culling (VERDICT r3 item 3 — the sample-count
+    # lever): screen all K candidates of a sweep stage with a SPARSE
+    # window (cull_box x cull_box at cull_increment spacing: 3x3 = 9
+    # samples vs box 11's 36), then evaluate the FULL window only for the
+    # per-pixel sparse winner.  Kernel work per stage drops from K full
+    # windows to K sparse + 1 full.  SEMANTICS CHANGE vs the reference's
+    # all-candidates-full evaluation (gipuma.cu:832-874): when the sparse
+    # ranking mispicks, the losing candidate stays available in later
+    # iterations (PatchMatch is iterative), so the effect is convergence
+    # noise, not bias — quality-gated in tests/test_rect_engine.py and
+    # PARITY.md rows; bench.py re-gates at 5e-3 before timing.  Off by
+    # default until the hardware A/B adopts it.
+    rect_two_stage_cull: bool = False
+    cull_box: int = 9
+    cull_increment: int = 4
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

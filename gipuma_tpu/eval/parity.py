@@ -51,7 +51,8 @@ def _normal_stats(normals, n_gt, border):
 
 def run_preset_parity(preset: str, h: int, w: int,
                       iterations: int | None = None, num_cams: int = 4,
-                      seed: int = 0, border: int = 12) -> dict:
+                      seed: int = 0, border: int = 12,
+                      texture: str = "sos") -> dict:
     """Exact + rect runs of one preset on a matched synthetic plane scene.
 
     The scene's depth/radius are scaled to the preset's depth range
@@ -65,7 +66,8 @@ def run_preset_parity(preset: str, h: int, w: int,
     depth_mid = 0.5 * (base.depth_min + base.depth_max)
     images, rig, gt, (n_w, _) = plane_scene(
         num_cams=num_cams, h=h, w=w, focal=1.25 * w,
-        plane_depth=depth_mid, slant=(0.2, -0.1), radius=depth_mid / 4.0)
+        plane_depth=depth_mid, slant=(0.2, -0.1), radius=depth_mid / 4.0,
+        texture=texture)
     params = base.replace(
         seed=seed, view_selection=False,
         iterations=base.iterations if iterations is None else iterations,
@@ -95,6 +97,7 @@ def run_preset_parity(preset: str, h: int, w: int,
 
     return {
         "preset": preset, "shape": (h, w),
+        "texture": texture,
         "iterations": params.iterations,
         "box": (params.box_hsize, params.box_vsize),
         "exact": _depth_stats(d_e, gt, border),
@@ -122,16 +125,17 @@ def format_markdown(rows: list[dict]) -> str:
         "Generated by `scripts/parity_presets.py`; the middlebury and",
         "dtu_fast rows are gated in CI (tests/test_parity_presets.py).",
         "",
-        "| preset | shape | box | iters | exact med/p99 | rect med/p99 "
-        "| gap med/p99 | exact n med° | rect n med° |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| preset | texture | shape | box | iters | exact med/p99 "
+        "| rect med/p99 | gap med/p99 | exact n med° | rect n med° |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            "| {preset} | {sh} | {bx} | {it} "
+            "| {preset} | {tex} | {sh} | {bx} | {it} "
             "| {em:.2e} / {ep:.2e} | {rm:.2e} / {rp:.2e} "
             "| {gm:.2e} / {gp:.2e} | {en:.2f} | {rn:.2f} |".format(
-                preset=r["preset"], sh="x".join(map(str, r["shape"])),
+                preset=r["preset"], tex=r.get("texture", "sos"),
+                sh="x".join(map(str, r["shape"])),
                 bx="x".join(map(str, r["box"])), it=r["iterations"],
                 em=r["exact"]["median"], ep=r["exact"]["p99"],
                 rm=r["rect"]["median"], rp=r["rect"]["p99"],

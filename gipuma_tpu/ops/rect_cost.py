@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MAXCOST, AlgorithmParams, MatchingAlgorithm
+from ..geometry import transforms as T
 from . import checkerboard as cb
 from .cost import ScenePack, _census_bits, combine_view_costs
 from .pallas_rowgather import row_gather, row_gather_affine, row_gather_batch
@@ -726,7 +727,49 @@ def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
 def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
                               parity: int, n: jnp.ndarray, d: jnp.ndarray
                               ) -> jnp.ndarray:
-    """Combined multiview cost for K stacked candidates: [K, H, W2]."""
+    """Combined multiview cost for K stacked candidates: [K, H, W2].
+
+    With config.rect_two_stage_cull (and K > 1): two-stage evaluation —
+    a sparse-window screening pass ranks the K candidates per pixel, the
+    full window is evaluated only for each pixel's sparse winner, and the
+    losers report MAXCOST (so the engine's accept fold, which argmins and
+    compares against the carried cost, composes unchanged).  This cuts
+    the per-stage kernel work from K full windows to K sparse + 1 full —
+    the per-candidate SAMPLE COUNT lever the SoL analysis calls the only
+    single-chip one left (ROADMAP.md).  Deviation from the reference's
+    all-candidates-full loop (gipuma.cu:832-874) documented in config.py.
+    """
+    K = n.shape[0]
+    if (K > 1 and getattr(params, "rect_two_stage_cull", False)
+            and params.pack_taps and params.window_grads):
+        cull = int(getattr(params, "cull_box", 9))
+        sp = params.replace(
+            box_hsize=cull, box_vsize=cull,
+            window_increment=int(getattr(params, "cull_increment", 4)))
+        c_s = combine_view_costs(
+            rect_per_view_costs_batch(scene, sp, parity, n, d), sp,
+            view_valid=scene.view_valid)                    # [K, H, W2]
+        # Exclude depth-range-invalid candidates from the ranking so a
+        # soon-to-be-rejected winner cannot shadow a valid runner-up
+        # (the accept fold re-checks the range on the winner anyway).
+        h = scene.rays.shape[0]
+        w2 = scene.rays.shape[1] // 2
+        x = cb.active_x(h, w2, parity)
+        y = cb.active_y(h, w2) + scene.row_offset.astype(jnp.float32)
+        depth_all = T.depth_from_plane(n, d, x, y, scene.fx, scene.cx,
+                                       scene.cy, scene.alpha_focal)
+        in_range = ((depth_all >= scene.depth_min)
+                    & (depth_all <= scene.depth_max))
+        kb = jnp.argmin(jnp.where(in_range, c_s, MAXCOST + 1.0),
+                        axis=0)                             # [H, W2]
+        n_sel = jnp.take_along_axis(n, kb[None, :, :, None],
+                                    axis=0)                 # [1, H, W2, 3]
+        d_sel = jnp.take_along_axis(d, kb[None], axis=0)    # [1, H, W2]
+        c_f = combine_view_costs(
+            rect_per_view_costs_batch(scene, params, parity, n_sel, d_sel),
+            params, view_valid=scene.view_valid)            # [1, H, W2]
+        return jnp.where(jnp.arange(K)[:, None, None] == kb[None], c_f,
+                         jnp.float32(MAXCOST))
     return combine_view_costs(
         rect_per_view_costs_batch(scene, params, parity, n, d), params,
         view_valid=scene.view_valid)

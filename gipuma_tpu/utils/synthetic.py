@@ -64,6 +64,41 @@ def texture_fn(X: np.ndarray) -> np.ndarray:
     return (v * 0.25 + 0.5) * 255.0
 
 
+_NOISE_SEED = 20260821
+_NOISE_BANK = None
+
+
+def texture_fn_noise(X: np.ndarray) -> np.ndarray:
+    """Band-limited APERIODIC noise texture over 3D points -> 0..255.
+
+    48 random-direction random-phase Fourier components with frequency
+    magnitudes log-uniform over the same band as `texture_fn`'s components
+    (2.5-13 rad/unit) — a dense, non-axis-aligned spectrum with no
+    near-periodicity.  This is the de-aliased texture class PARITY.md's
+    round-3 root-cause note calls for: the near-periodic sum-of-sinusoids
+    `texture_fn` produces warp-ambiguous local minima at full scale
+    (depth-compensated tilted planes), which is a property of that scene
+    family, not of the engines.  Deterministic (fixed seed)."""
+    global _NOISE_BANK
+    if _NOISE_BANK is None:
+        rng = np.random.default_rng(_NOISE_SEED)
+        K = 48
+        dirs = rng.normal(size=(K, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        mags = np.exp(rng.uniform(np.log(2.5), np.log(13.0), K))
+        _NOISE_BANK = ((dirs * mags[:, None]).astype(np.float64),
+                       rng.uniform(0.0, 2.0 * np.pi, K))
+    F, ph = _NOISE_BANK
+    v = np.zeros(X.shape[:-1], np.float64)
+    for k0 in range(0, len(F), 8):         # chunk: [h, w, 8] temporaries
+        v += np.sin(X @ F[k0:k0 + 8].T + ph[k0:k0 + 8]).sum(-1)
+    v /= np.sqrt(len(F) / 2.0)             # ~unit variance
+    return np.clip(128.0 + 52.0 * v, 0.0, 255.0)
+
+
+TEXTURES = {"sos": texture_fn, "noise": texture_fn_noise}
+
+
 def intersect_plane(P: np.ndarray, h: int, w: int,
                     n_world: np.ndarray, d_world: float) -> tuple[np.ndarray, np.ndarray]:
     """Ray/plane intersection for every pixel of camera P.
@@ -90,7 +125,7 @@ def plane_scene(num_cams: int = 4, h: int = 64, w: int = 80,
                 focal: float = 120.0, plane_n=(0.0, 0.0, 1.0),
                 plane_depth: float = 5.0,
                 slant: tuple[float, float] = (0.0, 0.0),
-                radius: float = 0.4):
+                radius: float = 0.4, texture: str = "sos"):
     """Render a textured (optionally slanted) plane into `num_cams` views.
 
     Returns (images list [h,w] float32, rig, gt_depth [h,w] for camera 0,
@@ -112,11 +147,12 @@ def plane_scene(num_cams: int = 4, h: int = 64, w: int = 80,
     Ps = make_ring_P(num_cams, h, w, focal, target_depth=plane_depth,
                      radius=radius)
     tex_scale = 5.0 / plane_depth   # unit scene (depth 5) = identity
+    tex = TEXTURES[texture]
     images = []
     gt_depth = None
     for i, P in enumerate(Ps):
         X, depth = intersect_plane(P, h, w, n, d)
-        images.append(texture_fn(X * tex_scale).astype(np.float32))
+        images.append(tex(X * tex_scale).astype(np.float32))
         if i == 0:
             gt_depth = depth.astype(np.float32)
     rig = build_rig(Ps)
@@ -167,7 +203,7 @@ def two_plane_scene(num_cams: int = 5, h: int = 64, w: int = 80,
 
 def plane_scene_for_rig(Ps, h: int, w: int, plane_depth: float,
                         slant: tuple[float, float] = (0.0, 0.0),
-                        ref: int = 0):
+                        ref: int = 0, texture: str = "sos"):
     """plane_scene for an ARBITRARY calibrated rig (e.g. the real DTU
     camera geometry shipped with the reference, data/dtu/calib/*.P): render
     the analytic texture plane placed `plane_depth` along the reference
@@ -191,10 +227,11 @@ def plane_scene_for_rig(Ps, h: int, w: int, plane_depth: float,
     d = -n @ point
 
     tex_scale = 5.0 / plane_depth   # depth-normalized texture frequency
+    tex = TEXTURES[texture]
     images, gt_depth = [], None
     for i, P in enumerate(Ps):
         X, depth = intersect_plane(np.asarray(P, np.float64), h, w, n, d)
-        images.append(texture_fn(X * tex_scale).astype(np.float32))
+        images.append(tex(X * tex_scale).astype(np.float32))
         if i == ref:
             gt_depth = depth.astype(np.float32)
     return images, gt_depth, (n, d)

@@ -22,6 +22,10 @@ def main() -> int:
                     default="medium")
     ap.add_argument("--presets", nargs="*",
                     default=["middlebury", "dtu_fast", "dtu_accurate"])
+    ap.add_argument("--textures", nargs="*", default=["sos", "noise"],
+                    help="utils/synthetic.TEXTURES keys; 'noise' is the "
+                         "aperiodic band-limited gate texture (VERDICT r3 "
+                         "item 6)")
     ap.add_argument("--out", default=str(ROOT / "PARITY.md"))
     args = ap.parse_args()
 
@@ -31,13 +35,21 @@ def main() -> int:
              "full": (480, 640)}[args.scale]
     rows = []
     for preset in args.presets:
-        r = run_preset_parity(preset, *shape)
-        rows.append(r)
-        print(json.dumps(r))
+        for tex in args.textures:
+            r = run_preset_parity(preset, *shape, texture=tex)
+            rows.append(r)
+            print(json.dumps(r))
 
     md = format_markdown(rows)
-    Path(args.out).write_text(md)
-    print(f"wrote {args.out}")
+    out = Path(args.out)
+    if out.exists():
+        # Preserve hand-written analysis sections ("## ..." onward).
+        old = out.read_text()
+        k = old.find("\n## ")
+        if k >= 0:
+            md = md + old[k:]
+    out.write_text(md)
+    print(f"wrote {out}")
     return 0
 
 

@@ -34,6 +34,12 @@ def main() -> int:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--plane_depth", type=float, default=550.0)
     ap.add_argument("--out", default="DTU_REAL_RIG.json")
+    ap.add_argument("--production", action="store_true",
+                    help="run the PRODUCTION pyramid/trim schedule (the "
+                         "bench.py configuration: 3-level pyramid, fine-"
+                         "level trims, coarse box 7) instead of the plain "
+                         "dtu_fast flat schedule — VERDICT r3 item 1")
+    ap.add_argument("--texture", choices=("noise", "sos"), default="noise")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +58,13 @@ def main() -> int:
     S = np.diag([s, s, 1.0])
     h, w = int(1200 * s), int(1600 * s)
     params0 = PRESETS["dtu_fast"].replace(cost_path="rect")
+    if args.production:
+        # The bench.py production schedule on top of dtu_fast (quality-
+        # gated below at the same 5e-3 bar as bench.py).
+        params0 = params0.replace(
+            pyramid_levels=3, pyramid_fine_iterations=1,
+            pyramid_fine_far=False, pyramid_fine_refine_rounds=2,
+            pyramid_carry_cost=True, pyramid_coarse_box=7)
 
     # 1) Selection sweep over ALL 64 reference choices (cheap, host-only).
     sel_sizes = []
@@ -76,7 +89,8 @@ def main() -> int:
         subset, dmin, dmax = select_views(rig, w, h, params0)
         params = params0.with_depth_range(dmin, dmax, rig.f, FAKE_BASELINE)
         images, gt_depth, _ = plane_scene_for_rig(
-            Ps, h, w, args.plane_depth, slant=(0.15, -0.1))
+            Ps, h, w, args.plane_depth, slant=(0.15, -0.1),
+            texture=args.texture)
 
         t0 = time.time()
         prep = prepare_pyramid(images, Ps, names, subset, params, dmin, dmax)
@@ -103,20 +117,27 @@ def main() -> int:
         interior = np.s_[32:-32, 32:-32]
         err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
         med = float(np.median(err))
+        if args.production:
+            # Same bar as bench.py's gate: the production schedule must
+            # hold reference-class quality at full scale.
+            assert med < 5e-3, f"ref {ref}: median rel err {med:.4f}"
         rec = {"ref": ref, "h": h, "w": w, "views": len(subset),
                "prep_s": round(t_prep, 2),
+               "compile_s": round(t_compile_run - t_run, 2),
                "compile_plus_run_s": round(t_compile_run, 2),
                "run_s": round(t_run, 2),
                "mp_per_s": round(h * w / 1e6 / t_run, 4),
                "median_rel_err": round(med, 6),
                "frac_within_1pct": round(float(np.mean(err < 0.01)), 4)}
-        print(json.dumps(rec))
+        print(json.dumps(rec), flush=True)
         records.append(rec)
 
     summary = {
         "metric": "dtu-real-rig megapixel-depthmaps/s/chip",
         "value": round(float(np.mean([r["mp_per_s"] for r in records])), 4),
         "unit": "MP/s",
+        "schedule": "production-pyramid" if args.production else "dtu_fast",
+        "texture": args.texture,
         "scale": s,
         "median_rel_err": float(np.median([r["median_rel_err"]
                                            for r in records])),

@@ -224,3 +224,50 @@ def test_permute_skip_is_exact():
         off = np.asarray(rect_per_view_costs_batch(
             scene, params.replace(rect_permute_skip=False), parity, n, d))
         np.testing.assert_allclose(on, off, rtol=2e-6, atol=1e-5)
+
+
+def test_two_stage_cull_degenerate_equals_full():
+    """rect_two_stage_cull with the cull window == the full window must
+    return exactly the full path's winner cost (and MAXCOST for losers):
+    the sparse screening then ranks with the same evaluator, so the
+    selected candidate and its cost match the plain batch evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    from gipuma_tpu.config import MAXCOST
+    from gipuma_tpu.geometry import transforms as T
+    from gipuma_tpu.ops import checkerboard as cb
+    from gipuma_tpu.ops.rect_cost import rect_multiview_cost_batch
+
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.2, -0.15), h=48, w=64)
+    h, w2 = 48, 32
+    key = jax.random.PRNGKey(3)
+    kn, kd = jax.random.split(key)
+    # K=3 random candidate plane stacks on parity 0.
+    from gipuma_tpu.models.patchmatch import random_unit_hemisphere
+    n = jax.vmap(lambda k: random_unit_hemisphere(
+        jax.random.fold_in(kn, k), scene.view_vec))(jnp.arange(3))
+    n = jax.vmap(lambda a: cb.extract(a, 0))(n)
+    depth = jax.random.uniform(kd, (3, h, w2), minval=4.0, maxval=6.0)
+    x = cb.active_x(h, w2, 0)
+    y = cb.active_y(h, w2)
+    d = jax.vmap(lambda nn, dd: T.plane_d_at_pixel(
+        scene.M_inv, scene.P_col4, nn, x, y, dd))(n, depth)
+
+    c_full = rect_multiview_cost_batch(scene, params, 0, n, d)
+    p2 = params.replace(rect_two_stage_cull=True,
+                        cull_box=params.box_hsize,
+                        cull_increment=params.window_increment)
+    c_2s = rect_multiview_cost_batch(scene, p2, 0, n, d)
+
+    import numpy as np
+    cf = np.asarray(c_full)
+    c2 = np.asarray(c_2s)
+    # Depth-validity mask used by the 2-stage ranking.
+    dep = np.asarray(T.depth_from_plane(n, d, x, y, scene.fx, scene.cx,
+                                        scene.cy, scene.alpha_focal))
+    valid = (dep >= float(scene.depth_min)) & (dep <= float(scene.depth_max))
+    kb = np.argmin(np.where(valid, cf, MAXCOST + 1.0), axis=0)
+    expect = np.where(np.arange(3)[:, None, None] == kb[None], np.take_along_axis(cf, kb[None], 0), MAXCOST)
+    assert np.allclose(c2, expect, atol=1e-4), np.abs(c2 - expect).max()
