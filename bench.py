@@ -40,10 +40,12 @@ def main() -> int:
                          "(config.rect_footprint_skip)")
     ap.add_argument("--coarse_box", type=int, default=None,
                     help="A/B: config.pyramid_coarse_box override")
-    ap.add_argument("--two_stage", action="store_true",
-                    help="A/B: config.rect_two_stage_cull — sparse-window "
-                         "candidate screening, full window only for the "
-                         "per-pixel winner (VERDICT r3 item 3)")
+    ap.add_argument("--no_two_stage", action="store_true",
+                    help="A/B: disable config.rect_two_stage_cull (sparse-"
+                         "window candidate screening, full window only for "
+                         "the per-pixel winner).  Measured on v5e: 0.995 "
+                         "-> 1.243 MP/s (+25%%) at the same 5e-3 gate — "
+                         "adopted as the bench default (VERDICT r3 item 3)")
     ap.add_argument("--texture", choices=("noise", "sos"), default="noise",
                     help="gate-scene texture (utils/synthetic.TEXTURES). "
                          "Default: band-limited aperiodic noise — the "
@@ -86,11 +88,16 @@ def main() -> int:
     # footprint than the fine level's (config.py).  Measured on v5e:
     # 0.693 -> 1.012 MP/s (+46%) at the same sub-5e-3 quality gate;
     # CPU-gated against the untrimmed pyramid in tests/test_pyramid.py.
+    # rect_two_stage_cull (round 4): sparse 3x3 screening of all K sweep
+    # candidates, full window only for the per-pixel winner — the sample-
+    # count lever of ROADMAP.md's SoL analysis.  Hardware A/B on v5e:
+    # 0.995 -> 1.243 MP/s (+25%) at the same sub-5e-3 gate on the noise
+    # texture; semantics deviation documented in config.py + PARITY.md.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=1, pyramid_fine_far=False,
         pyramid_fine_refine_rounds=2, pyramid_carry_cost=True,
-        pyramid_coarse_box=7)
+        pyramid_coarse_box=7, rect_two_stage_cull=True)
     if args.schedule == "reference":
         params = params.replace(pyramid_levels=1)
     if args.dispatch is not None:
@@ -101,8 +108,8 @@ def main() -> int:
         params = params.replace(pyramid_coarse_box=args.coarse_box)
     if args.no_permute_skip:
         params = params.replace(rect_permute_skip=False)
-    if args.two_stage:
-        params = params.replace(rect_two_stage_cull=True)
+    if args.no_two_stage:
+        params = params.replace(rect_two_stage_cull=False)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

@@ -42,6 +42,12 @@ def main() -> int:
     ap.add_argument("--iterations", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="BENCH_SCALING.json")
+    ap.add_argument("--jobs_on_one", action="store_true",
+                    help="measure N jobs BATCHED ON ONE DEVICE (counts = "
+                         "job counts): per-job throughput vs N=1 isolates "
+                         "the job-axis batching overhead with no CPU-pool "
+                         "confound — the one scaling quantity the single "
+                         "real TPU can measure (VERDICT r3 item 7)")
     args = ap.parse_args()
 
     # The container's sitecustomize pins JAX_PLATFORMS=axon and OVERRIDES
@@ -89,6 +95,34 @@ def main() -> int:
             out = run_patchmatch_batch_sharded(scenes, params, keys, mesh)
         np.asarray(out.cost)                     # force a real fetch
         return (time.perf_counter() - t0) / args.reps
+
+    if args.jobs_on_one:
+        # N jobs vmapped on ONE device: per-job time vs N=1 isolates the
+        # job-axis batching overhead (kernel-launch amortization vs VMEM
+        # pressure) with no multi-device or thread-pool confound.
+        results = []
+        t1 = None
+        for n in counts:
+            t = timed_run(n, 1)
+            if t1 is None:
+                t1 = t
+            rec = {"jobs": n, "devices": 1,
+                   "s_per_batch": round(t, 4),
+                   "s_per_job": round(t / n, 4),
+                   "per_job_efficiency": round(t1 / (t / n), 4)}
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+        summary = {"metric": "jobs-batched-on-one-device",
+                   "backend": jax.default_backend(),
+                   "shape": [h, w], "results": results}
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps({
+            "metric": "job-batching per-job efficiency",
+            "value": results[-1]["per_job_efficiency"],
+            "unit": f"x{results[-1]['jobs']}-jobs-1-device",
+            "vs_baseline": results[-1]["per_job_efficiency"]}))
+        return 0
 
     results = []
     base_tput = None

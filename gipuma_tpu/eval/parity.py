@@ -52,7 +52,8 @@ def _normal_stats(normals, n_gt, border):
 def run_preset_parity(preset: str, h: int, w: int,
                       iterations: int | None = None, num_cams: int = 4,
                       seed: int = 0, border: int = 12,
-                      texture: str = "sos") -> dict:
+                      texture: str = "sos",
+                      two_stage: bool = False) -> dict:
     """Exact + rect runs of one preset on a matched synthetic plane scene.
 
     The scene's depth/radius are scaled to the preset's depth range
@@ -84,7 +85,10 @@ def run_preset_parity(preset: str, h: int, w: int,
 
     rect_scene, info = build_rect_scene(images, rig, subset, params,
                                         base.depth_min, base.depth_max)
-    st_r = run_patchmatch_host_loop(rect_scene, params, key,
+    # two_stage applies only to the rect engine (the semantics deviation
+    # under study: sparse-winner-only full evaluation, config.py).
+    rect_params = params.replace(rect_two_stage_cull=two_stage)
+    st_r = run_patchmatch_host_loop(rect_scene, rect_params, key,
                                     cost_fn=rect_multiview_cost)
     d_r, n_r, _ = finalize(st_r, rect_scene.base)
 
@@ -96,7 +100,8 @@ def run_preset_parity(preset: str, h: int, w: int,
     gap = np.abs(dr[ok] - de[ok]) / g[ok]
 
     return {
-        "preset": preset, "shape": (h, w),
+        "preset": preset + ("+cull" if two_stage else ""),
+        "shape": (h, w),
         "texture": texture,
         "iterations": params.iterations,
         "box": (params.box_hsize, params.box_vsize),

@@ -26,6 +26,9 @@ def main() -> int:
                     help="utils/synthetic.TEXTURES keys; 'noise' is the "
                          "aperiodic band-limited gate texture (VERDICT r3 "
                          "item 6)")
+    ap.add_argument("--two_stage_rows", action="store_true",
+                    help="add rect_two_stage_cull rows for middlebury + "
+                         "dtu_fast (the round-4 semantics change)")
     ap.add_argument("--out", default=str(ROOT / "PARITY.md"))
     args = ap.parse_args()
 
@@ -33,12 +36,18 @@ def main() -> int:
 
     shape = {"small": (96, 128), "medium": (192, 256),
              "full": (480, 640)}[args.scale]
+    ap2 = args.two_stage_rows
     rows = []
     for preset in args.presets:
         for tex in args.textures:
             r = run_preset_parity(preset, *shape, texture=tex)
             rows.append(r)
             print(json.dumps(r))
+            if ap2 and preset in ("middlebury", "dtu_fast"):
+                r = run_preset_parity(preset, *shape, texture=tex,
+                                      two_stage=True)
+                rows.append(r)
+                print(json.dumps(r))
 
     md = format_markdown(rows)
     out = Path(args.out)

@@ -64,7 +64,8 @@ def main() -> int:
         params0 = params0.replace(
             pyramid_levels=3, pyramid_fine_iterations=1,
             pyramid_fine_far=False, pyramid_fine_refine_rounds=2,
-            pyramid_carry_cost=True, pyramid_coarse_box=7)
+            pyramid_carry_cost=True, pyramid_coarse_box=7,
+            rect_two_stage_cull=True)
 
     # 1) Selection sweep over ALL 64 reference choices (cheap, host-only).
     sel_sizes = []

@@ -25,6 +25,7 @@ from gipuma_tpu.utils.synthetic import make_ring_P, plane_scene
 
 
 def main():
+    import sys
     print("devices:", jax.devices(), flush=True)
     h, w, n_views = 480, 640, 7
     images, rig, gt, _ = plane_scene(num_cams=n_views, h=h, w=w, focal=800.0,
@@ -32,11 +33,14 @@ def main():
     Ps = make_ring_P(n_views, h, w, 800.0, target_depth=5.0)
     names = [f"cam{i:03d}" for i in range(n_views)]
     # Match bench.py's production configuration exactly (incl. the round-2
-    # fine-level trims) so the split explains the bench number.
+    # fine-level trims + round-3 coarse box) so the split explains the
+    # bench number; --two_stage mirrors bench.py's flag.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=1, pyramid_fine_far=False,
-        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True)
+        pyramid_fine_refine_rounds=2, pyramid_carry_cost=True,
+        pyramid_coarse_box=7,
+        rect_two_stage_cull="--two_stage" in sys.argv)
     params = params.with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
     prep = prepare_pyramid(images, Ps, names, list(range(1, n_views)),
                            params, 3.0, 8.0)

@@ -271,3 +271,20 @@ def test_two_stage_cull_degenerate_equals_full():
     kb = np.argmin(np.where(valid, cf, MAXCOST + 1.0), axis=0)
     expect = np.where(np.arange(3)[:, None, None] == kb[None], np.take_along_axis(cf, kb[None], 0), MAXCOST)
     assert np.allclose(c2, expect, atol=1e-4), np.abs(c2 - expect).max()
+
+
+def test_recovers_plane_two_stage_cull():
+    """Quality gate for rect_two_stage_cull: slanted-plane recovery with
+    sparse-winner-only full evaluation must match the plain path's bar
+    (the mispick cost is convergence noise, not bias — config.py)."""
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), rect_two_stage_cull=True)
+    key = jax.random.PRNGKey(params.seed)
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.02)
+    assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
+                              f"median {np.median(err):.4f}")
