@@ -46,6 +46,10 @@ def main() -> int:
                          "the per-pixel winner).  Measured on v5e: 0.995 "
                          "-> 1.243 MP/s (+25%%) at the same 5e-3 gate — "
                          "adopted as the bench default (VERDICT r3 item 3)")
+    ap.add_argument("--cull_view_stride", type=int, default=None,
+                    help="A/B: config.cull_view_stride — screen candidates "
+                         "on every Nth view only (ranking needs less view "
+                         "support than the accepted cost)")
     ap.add_argument("--texture", choices=("noise", "sos"), default="noise",
                     help="gate-scene texture (utils/synthetic.TEXTURES). "
                          "Default: band-limited aperiodic noise — the "
@@ -110,6 +114,8 @@ def main() -> int:
         params = params.replace(rect_permute_skip=False)
     if args.no_two_stage:
         params = params.replace(rect_two_stage_cull=False)
+    if args.cull_view_stride is not None:
+        params = params.replace(cull_view_stride=args.cull_view_stride)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

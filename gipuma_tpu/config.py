@@ -216,6 +216,12 @@ class AlgorithmParams:
     rect_two_stage_cull: bool = False
     cull_box: int = 9
     cull_increment: int = 4
+    # Screen on a strided SUBSET of the source views (stride 2 = every
+    # other view) — the sparse pass carries ~80% of the permute work and
+    # half the kernel work after the cull (ROADMAP.md round-4 breakdown),
+    # and candidate RANKING needs less view support than the accepted
+    # cost (which stage 2 still evaluates over all views).  1 = all views.
+    cull_view_stride: int = 1
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

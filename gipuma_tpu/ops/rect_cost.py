@@ -604,6 +604,24 @@ class RectScene(NamedTuple):
         return self.ref_rect.shape[0]
 
 
+def _slice_views(scene: RectScene, stride: int) -> RectScene:
+    """Strided view subset of a RectScene (the two-stage cull's sparse
+    screening pass, config.cull_view_stride).  Slices every per-view leaf
+    plus base.view_valid; other base leaves are view-independent or
+    unused by the rect scan."""
+    def sl(a):
+        return None if a is None else a[::stride]
+
+    base = scene.base._replace(view_valid=scene.base.view_valid[::stride])
+    return scene._replace(
+        base=base, ref_rect=sl(scene.ref_rect), src_rect=sl(scene.src_rect),
+        L=sl(scene.L), fwd_c1=sl(scene.fwd_c1), fwd_r=sl(scene.fwd_r),
+        ret_c1=sl(scene.ret_c1), ret_r=sl(scene.ret_r),
+        rot_k=sl(scene.rot_k), disp_bounds=sl(scene.disp_bounds),
+        hw_valid=sl(scene.hw_valid), tile_ok=sl(scene.tile_ok),
+        fwd2_ok=sl(scene.fwd2_ok), ret1_ok=sl(scene.ret1_ok))
+
+
 def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
                         parity: int, n: jnp.ndarray, d: jnp.ndarray
                         ) -> jnp.ndarray:
@@ -746,9 +764,11 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
         sp = params.replace(
             box_hsize=cull, box_vsize=cull,
             window_increment=int(getattr(params, "cull_increment", 4)))
+        stride = max(1, int(getattr(params, "cull_view_stride", 1)))
+        sc_s = scene if stride == 1 else _slice_views(scene, stride)
         c_s = combine_view_costs(
-            rect_per_view_costs_batch(scene, sp, parity, n, d), sp,
-            view_valid=scene.view_valid)                    # [K, H, W2]
+            rect_per_view_costs_batch(sc_s, sp, parity, n, d), sp,
+            view_valid=sc_s.view_valid)                     # [K, H, W2]
         # Exclude depth-range-invalid candidates from the ranking so a
         # soon-to-be-rejected winner cannot shadow a valid runner-up
         # (the accept fold re-checks the range on the winner anyway).

@@ -137,7 +137,13 @@ def main() -> int:
                     ("fused_sdg_onesided",
                      params.replace(sdg_onesided_edges=True)),
                     ("fused_sdg_roll",
-                     params.replace(fused_roll=True))]:
+                     params.replace(fused_roll=True)),
+                    # The two-stage cull's sparse-window configuration
+                    # (cull_box x cull_box at cull_increment — a distinct
+                    # unroll/gather geometry of the same kernel).
+                    ("fused_sdg_cull_window",
+                     params.replace(box_hsize=9, box_vsize=9,
+                                    window_increment=4))]:
         record(tag,
                fused_sdg_cost_batch(refj, srcp, abckj, pp,
                                     disp_lo=lo, disp_hi=hi, span_blocks=3),

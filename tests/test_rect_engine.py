@@ -288,3 +288,20 @@ def test_recovers_plane_two_stage_cull():
     frac_good = np.mean(err < 0.02)
     assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
                               f"median {np.median(err):.4f}")
+
+
+def test_recovers_plane_cull_view_stride():
+    """cull_view_stride=2: candidate ranking from every other view only
+    (stage-2 still evaluates the winner over ALL views) must hold the
+    plane-recovery bar."""
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), rect_two_stage_cull=True, cull_view_stride=2)
+    key = jax.random.PRNGKey(params.seed)
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.02)
+    assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
+                              f"median {np.median(err):.4f}")
