@@ -34,7 +34,9 @@ def main() -> int:
                     help="reference = no pyramid, all 8 iterations at full "
                          "resolution (the reference's own schedule, "
                          "gipuma.cu:1911-1941)")
-    ap.add_argument("--reps", type=int, default=2)
+    # reps=4: at ~0.2 s/run the 2-rep measurement carried ±10% queue/relay
+    # noise (measured 1.40/1.58/1.69 across 2-2-4-rep runs of one config).
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--no_footprint_skip", action="store_true",
                     help="A/B: disable the rect footprint tile skip "
                          "(config.rect_footprint_skip)")
@@ -97,11 +99,15 @@ def main() -> int:
     # count lever of ROADMAP.md's SoL analysis.  Hardware A/B on v5e:
     # 0.995 -> 1.243 MP/s (+25%) at the same sub-5e-3 gate on the noise
     # texture; semantics deviation documented in config.py + PARITY.md.
+    # cull_view_stride=2 (screen on every other view; stage 2 still
+    # evaluates the winner over ALL views): 1.243 -> 1.580 MP/s (+27%)
+    # at the same gate — the permute share the round-4 breakdown flagged.
     params = PRESETS["middlebury"].replace(
         seed=0, cost_path="rect", pyramid_levels=3,
         pyramid_fine_iterations=1, pyramid_fine_far=False,
         pyramid_fine_refine_rounds=2, pyramid_carry_cost=True,
-        pyramid_coarse_box=7, rect_two_stage_cull=True)
+        pyramid_coarse_box=7, rect_two_stage_cull=True,
+        cull_view_stride=2)
     if args.schedule == "reference":
         params = params.replace(pyramid_levels=1)
     if args.dispatch is not None:

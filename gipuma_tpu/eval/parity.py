@@ -86,8 +86,10 @@ def run_preset_parity(preset: str, h: int, w: int,
     rect_scene, info = build_rect_scene(images, rig, subset, params,
                                         base.depth_min, base.depth_max)
     # two_stage applies only to the rect engine (the semantics deviation
-    # under study: sparse-winner-only full evaluation, config.py).
-    rect_params = params.replace(rect_two_stage_cull=two_stage)
+    # under study: sparse-winner-only full evaluation + strided screening
+    # views — the exact production configuration bench.py runs).
+    rect_params = params.replace(rect_two_stage_cull=two_stage,
+                                 cull_view_stride=2 if two_stage else 1)
     st_r = run_patchmatch_host_loop(rect_scene, rect_params, key,
                                     cost_fn=rect_multiview_cost)
     d_r, n_r, _ = finalize(st_r, rect_scene.base)

@@ -65,7 +65,7 @@ def main() -> int:
             pyramid_levels=3, pyramid_fine_iterations=1,
             pyramid_fine_far=False, pyramid_fine_refine_rounds=2,
             pyramid_carry_cost=True, pyramid_coarse_box=7,
-            rect_two_stage_cull=True)
+            rect_two_stage_cull=True, cull_view_stride=2)
 
     # 1) Selection sweep over ALL 64 reference choices (cheap, host-only).
     sel_sizes = []
