@@ -218,7 +218,6 @@ def main(argv=None) -> int:
             except (KeyError, IndexError, ValueError):
                 return template
 
-        occl = (load_image(args.occl_mask) > 0 if args.occl_mask else None)
         for r in results:
             stem = Path(r.ref_name).stem
             idx = names.index(r.ref_name) if r.ref_name in names else 0
@@ -228,6 +227,18 @@ def main(argv=None) -> int:
                 print(f"{stem}: GT file {gt_path} not found — skipping "
                       "eval", file=sys.stderr)
                 continue
+            # Occlusion masks are view-specific: resolve the same
+            # {name}/{idx} template as -gt per view and skip (not reuse a
+            # wrong view's mask) when the resolved file is missing.
+            occl = None
+            if args.occl_mask:
+                occl_path = _resolve(args.occl_mask, stem, idx)
+                if Path(occl_path).exists():
+                    occl = load_image(occl_path) > 0
+                else:
+                    print(f"{stem}: occlusion mask {occl_path} not found — "
+                          "nocc rates skipped for this view",
+                          file=sys.stderr)
             rep = depth_error(r.depth, _read_map(gt_path),
                               tol=args.gt_tol, tol2=args.gt_tol2,
                               occlusion_mask=occl)
@@ -236,10 +247,18 @@ def main(argv=None) -> int:
                   f"@tol2 {rep.error_rate_tol2:.4f} "
                   f"nocc {rep.error_rate_nocc:.4f} "
                   f"(mean abs {rep.mean_abs_error:.4f})")
-            # Error-map PNGs (main.cpp:1123-1139) into the view's own
-            # results directory, metrics appended to its results.txt.
-            save_png(vdir / "gt_error.png",
-                     (rep.error_map * 255).astype(np.uint8))
+            # The reference's five error-map PNGs (main.cpp:1123-1139,
+            # groundTruthUtils.h:22-95): two tolerances x overall/nocc +
+            # the algorithm-valid-masked map, into the view's own results
+            # directory; metrics appended to its results.txt.
+            for fname, emap in (
+                    ("gt_error.png", rep.error_map),
+                    ("gt_error_tol2.png", rep.error_map_tol2),
+                    ("gt_error_nocc.png", rep.error_map_nocc),
+                    ("gt_error_nocc_tol2.png", rep.error_map_nocc_tol2),
+                    ("gt_error_masked.png", rep.error_map_masked)):
+                if emap is not None:
+                    save_png(vdir / fname, (emap * 255).astype(np.uint8))
             gt_lines = [
                 f"gt_file {gt_path}",
                 f"error_rate_tol{args.gt_tol} {rep.error_rate:.6f}",
@@ -254,7 +273,9 @@ def main(argv=None) -> int:
                                         tol=args.gt_tol, tol2=args.gt_tol2)
                     print(f"{stem}: GT(nocc file) error rate "
                           f"@{args.gt_tol}: {rep_n.error_rate:.4f}")
-                    save_png(vdir / "gt_error_nocc.png",
+                    # Distinct name: gt_error_nocc.png is the occl_mask-
+                    # derived map of the PRIMARY GT above.
+                    save_png(vdir / "gt_error_noccfile.png",
                              (rep_n.error_map * 255).astype(np.uint8))
                     gt_lines.append(
                         f"error_rate_nocc_file {rep_n.error_rate:.6f}")

@@ -308,6 +308,36 @@ class AlgorithmParams:
     pyramid_coarse_box: int = 0
     # Cap on refinement_schedule length (first N rounds), 0 = full.
     refine_rounds_cap: int = 0
+    # Executable-shape quantization (models/rect_scene.py): round every
+    # static shape the rect executables specialize on up to coarse
+    # buckets, so one compiled set serves a whole multi-view scan.  The
+    # reference binary starts computing instantly on any shape
+    # (main.cpp:973); the rect path instead pays ~2000 s of remote
+    # compiles per DISTINCT (view-count, rect-shape, span) bucket at
+    # 1600x1200 (DTU_REAL_RIG round 4) and the persistent jax cache does
+    # not cover it.  Quantized axes: rect pad shape (rows/cols quanta
+    # below), view count (padded to rect_pad_views_to with zero-work
+    # dummy views), the disparity range feeding the gather-span bound,
+    # and the permutation span (rounded up to even).  Padded rows/cols/
+    # views cost ~nothing device-side (hw_valid + tile masks skip them);
+    # the XLA glue at padded shapes measured ~2-3% (ROADMAP round 3).
+    # A scan-level ledger (pipeline.run_batch) additionally ratchets the
+    # buckets monotonically across reference views so later, smaller
+    # views reuse the compiled set exactly.
+    # Pack the plane vectors m = n/d into 2 int32 words per candidate for
+    # the forward (state -> rect) permutation — (f16(m0) << 16 | f16(m1),
+    # bitcast f32 m2) instead of 3 f32 channels (ops/rect_cost._pack_m).
+    # The permute is pure nearest selection, so packing is a 1/3 cut of
+    # the forward permute's gather work (permutes were co-dominant at
+    # ~35% of device time after round 4) for ~5e-4 relative quantization
+    # on the two packed components (~0.01 px of disparity — far below the
+    # 1/32 px warp quantization).  Quality re-gated by bench.py at 5e-3.
+    rect_pack_m: bool = True
+    rect_quantize_shapes: bool = False
+    rect_quantum_rows: int = 64     # hrp rounding; multiple of 8
+    rect_quantum_cols: int = 256    # wrp rounding; multiple of 128
+    rect_quantum_range: float = 64.0  # disparity-range quantum (px)
+    rect_pad_views_to: int = 0      # 0 = max_views
 
     @property
     def box_hrad(self) -> int:
@@ -417,3 +447,9 @@ class FusionParams:
     normal_thresh: float = 30.0   # degrees
     num_consistent: int = 3
     min_angle_degrees: float = 10.0  # unused placeholder for interface parity
+    # Greedy-loop output chunking (fusion/fuse.py): emit per-view outputs
+    # in groups of this many reference views with a host fetch between
+    # groups, bounding live device/host memory to ~chunk * H*W*28 bytes
+    # instead of N * (at 49 views x 1200x1600 the all-views output is
+    # >2 GB).  0 = auto-size to a ~256 MB output budget.
+    chunk_views: int = 0

@@ -18,7 +18,15 @@ class DepthErrorReport:
     error_rate_valid: float      # only pixels the algorithm marked valid
     mean_abs_error: float
     valid_fraction: float        # fraction of gt-valid pixels with output
-    error_map: np.ndarray        # bool [H, W] (at tol)
+    # The reference's five error visualizations (main.cpp:1123-1139,
+    # groundTruthUtils.h:22-95): two tolerances x overall/non-occluded,
+    # plus the algorithm-valid-masked map.  All bool [H, W]; the nocc maps
+    # are None without an occlusion mask.
+    error_map: np.ndarray        # at tol, all gt-valid pixels
+    error_map_tol2: np.ndarray | None = None
+    error_map_nocc: np.ndarray | None = None
+    error_map_nocc_tol2: np.ndarray | None = None
+    error_map_masked: np.ndarray | None = None
 
 
 def depth_error(depth: np.ndarray, gt: np.ndarray, tol: float,
@@ -56,6 +64,11 @@ def depth_error(depth: np.ndarray, gt: np.ndarray, tol: float,
         if has_gt.any() else float("nan"),
         valid_fraction=float(out_valid[has_gt].mean()) if has_gt.any() else 0.0,
         error_map=bad & has_gt,
+        error_map_tol2=bad2 & has_gt,
+        error_map_nocc=(bad & has_gt & nocc) if nocc is not None else None,
+        error_map_nocc_tol2=(bad2 & has_gt & nocc) if nocc is not None
+        else None,
+        error_map_masked=bad & has_gt & out_valid,
     )
 
 

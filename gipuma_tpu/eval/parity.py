@@ -118,6 +118,140 @@ def run_preset_parity(preset: str, h: int, w: int,
     }
 
 
+def run_cull_hard_scene(kind: str, h: int = 64, w: int = 96,
+                        num_cams: int = 5, seed: int = 0, border: int = 10,
+                        iterations: int = 4) -> dict:
+    """Two-stage-cull quality gate on HARD scene families (VERDICT r4
+    item 4): the slanted-plane gates alone don't exercise where a sparse
+    3x3 screen on strided views is most likely to mispick.  Runs the rect
+    engine with the cull OFF and ON (the production cull_view_stride=2
+    configuration) on:
+
+    * "two_plane" — an occluding depth discontinuity
+      (utils/synthetic.two_plane_scene, noise texture);
+    * "textureless_patch" — a flat constant-intensity patch where every
+      candidate costs the same (stats split into textured region vs
+      patch);
+    * "low_contrast" — ~5x lower texture modulation (5x less photometric
+      evidence for the ranking).
+
+    This is what licenses the deviation from the reference's
+    all-candidates-full loop (gipuma.cu:832-874);
+    tests/test_cull_hard_scenes.py gates the rows, and
+    scripts/parity_presets.py --hard_scene_rows renders them into
+    PARITY.md."""
+    import jax
+
+    from ..utils.synthetic import two_plane_scene
+
+    depth_min, depth_max = 3.0, 8.0
+    region_mask = None          # True = the region stats are computed on
+    if kind == "two_plane":
+        images, rig, gt, near_mask = two_plane_scene(
+            num_cams=num_cams, h=h, w=w, focal=1.25 * w, texture="noise")
+        # Secondary region: a band around the discontinuity column, where
+        # occlusion makes sparse screening most error-prone.
+        edge = np.abs(np.diff(near_mask.astype(np.int8), axis=1)) > 0
+        band = np.zeros_like(near_mask)
+        cols = np.nonzero(edge.any(axis=0))[0]
+        for c in cols:
+            band[:, max(0, c - 8):c + 9] = True
+        region_mask = band
+    elif kind in ("textureless_patch", "low_contrast"):
+        tex = ("noise_patch" if kind == "textureless_patch"
+               else "noise_lc")
+        images, rig, gt, (n_w, _) = plane_scene(
+            num_cams=num_cams, h=h, w=w, focal=1.25 * w, plane_depth=5.0,
+            slant=(0.2, -0.1), texture=tex)
+        if kind == "textureless_patch":
+            # The patch in reference-image coords (the texture flattens
+            # |x|<0.55, |y|<0.4 in depth-normalized world coords).
+            from ..utils.synthetic import intersect_plane, make_ring_P
+            Ps = make_ring_P(num_cams, h, w, 1.25 * w, target_depth=5.0)
+            n = np.array([0.2, -0.1, 1.0])
+            n /= np.linalg.norm(n)
+            X, _ = intersect_plane(Ps[0], h, w, n,
+                                   -n @ np.array([0.0, 0.0, 5.0]))
+            region_mask = ((np.abs(X[..., 0]) < 0.55)
+                           & (np.abs(X[..., 1]) < 0.4))
+    else:
+        raise ValueError(kind)
+
+    params = PRESETS["middlebury"].replace(
+        seed=seed, view_selection=False, iterations=iterations,
+        pyramid_levels=1, box_hsize=9, box_vsize=9)
+    params = params.with_depth_range(depth_min, depth_max, rig.f,
+                                     FAKE_BASELINE)
+    subset = list(range(1, num_cams))
+    key = jax.random.PRNGKey(params.seed)
+    rect_scene, _ = build_rect_scene(images, rig, subset, params,
+                                     depth_min, depth_max)
+
+    def run(two_stage: bool):
+        p = params.replace(rect_two_stage_cull=two_stage,
+                           cull_view_stride=2 if two_stage else 1)
+        st = run_patchmatch_host_loop(rect_scene, p, key,
+                                      cost_fn=rect_multiview_cost)
+        d, n, _ = finalize(st, rect_scene.base)
+        return np.asarray(d)
+
+    d_plain = run(False)
+    d_cull = run(True)
+
+    s = np.s_[border:-border, border:-border]
+    g = np.asarray(gt)
+
+    def stats(d, mask=None):
+        m = np.ones_like(g, bool) if mask is None else mask
+        m = m[s] & (d[s] > 0)
+        rel = np.abs(d[s][m] - g[s][m]) / g[s][m]
+        if rel.size == 0:
+            return {"median": float("nan"), "p99": float("nan")}
+        return {"median": float(np.median(rel)),
+                "p99": float(np.quantile(rel, 0.99))}
+
+    inv = None if region_mask is None else ~region_mask
+    return {
+        "kind": kind, "shape": (h, w), "iterations": iterations,
+        "plain": stats(d_plain), "cull": stats(d_cull),
+        "plain_region": stats(d_plain, region_mask),
+        "cull_region": stats(d_cull, region_mask),
+        "plain_outside": stats(d_plain, inv),
+        "cull_outside": stats(d_cull, inv),
+    }
+
+
+def format_hard_scene_markdown(rows: list[dict]) -> str:
+    """Render the hard-scene cull-gate rows (PARITY.md section)."""
+    lines = [
+        "## Two-stage-cull gate on hard scenes (round 5)",
+        "",
+        "The production cull (sparse 3x3 screen at stride-2 views, full",
+        "window for the per-pixel winner only) gated on the scene families",
+        "where screening mispicks are most likely: an occluding depth",
+        "discontinuity, a textureless patch, and a low-contrast texture.",
+        "`region` = discontinuity band / textureless patch; `outside` =",
+        "the rest.  Gated in CI by tests/test_cull_hard_scenes.py.",
+        "",
+        "| scene | shape | plain med/p99 | cull med/p99 "
+        "| plain region | cull region | plain outside | cull outside |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        def fmt(st):
+            if st is None or not np.isfinite(st.get("median", np.nan)):
+                return "—"
+            return f"{st['median']:.2e} / {st['p99']:.2e}"
+        lines.append(
+            "| {k} | {sh} | {p} | {c} | {pr} | {cr} | {po} | {co} |"
+            .format(k=r["kind"], sh="x".join(map(str, r["shape"])),
+                    p=fmt(r["plain"]), c=fmt(r["cull"]),
+                    pr=fmt(r["plain_region"]), cr=fmt(r["cull_region"]),
+                    po=fmt(r["plain_outside"]), co=fmt(r["cull_outside"])))
+    lines.append("")
+    return "\n".join(lines)
+
+
 def format_markdown(rows: list[dict]) -> str:
     """Render parity rows as the PARITY.md error-budget table."""
     lines = [

@@ -104,16 +104,22 @@ def fuse_depthmaps(depths: np.ndarray, normals: np.ndarray, Ps: Sequence[np.ndar
         [depths[..., None], normals_j], -1).reshape(N, h * w, 4)
 
     @jax.jit
-    def run_all(packed_in):
-        """The whole greedy view loop in ONE executable (lax.scan over the
-        reference view i with the used-sign-masked pack as carry): the
-        previous per-view jit + 3 host fetches serialized 49 dispatch
-        round-trips and re-fetched full maps every view."""
+    def run_chunk(packed_in, idxs, act):
+        """One chunk of the greedy view loop in ONE executable (lax.scan
+        over the reference views `idxs` with the used-sign-masked pack as
+        carry — a per-view jit + 3 host fetches would serialize 49
+        dispatch round-trips and re-fetch full maps every view).  The
+        loop is chunked so the stacked per-view outputs (keep/fused_X/
+        fused_n, ~28 B/px/view) stay bounded: at 49 views x 1200x1600 an
+        all-views output is >2 GB live at once on the fusion host.  `act`
+        masks padded tail entries (keep=False => no marks, no emits), so
+        every chunk shares one executable."""
 
-        def consistency(packed, i):
+        def consistency(packed, i_act):
+            i, a = i_act
             Xi = X_all[i]
             ni = normals_j[i]
-            valid_i = packed[i, :, 0].reshape(h, w) > 0
+            valid_i = (packed[i, :, 0].reshape(h, w) > 0) & (a > 0)
             is_i = jnp.arange(N) == i
 
             def body(carry, vin):
@@ -168,27 +174,36 @@ def fuse_depthmaps(depths: np.ndarray, normals: np.ndarray, Ps: Sequence[np.ndar
                                      -1)
             return packed, (keep, fused_X, fused_n)
 
-        _, outs = jax.lax.scan(consistency, packed_in,
-                               jnp.arange(N, dtype=jnp.int32))
-        return outs
+        return jax.lax.scan(consistency, packed_in, (idxs, act))
 
-    keeps, fXs, fns = run_all(packed0)
-    keeps = np.asarray(keeps)
-    fXs = np.asarray(fXs)
-    fns = np.asarray(fns)
-
+    chunk = int(getattr(params, "chunk_views", 0))
+    if chunk <= 0:
+        # ~256 MB live output per chunk (keep bool + X f32x3 + n f32x3).
+        chunk = max(1, min(N, (256 << 20) // (h * w * 28)))
     out_pts, out_nrm, out_col = [], [], []
-    for i in range(N):
-        keep_np = keeps[i]
-        out_pts.append(fXs[i][keep_np])
-        out_nrm.append(fns[i][keep_np])
-        if colors is not None:
-            ci = np.asarray(colors[i])
-            if ci.ndim == 2:
-                ci = np.repeat(ci[..., None], 3, axis=-1)
-            out_col.append(ci[keep_np])
-        else:
-            out_col.append(np.full((int(keep_np.sum()), 3), 255.0, np.float32))
+    packed = packed0
+    for c0 in range(0, N, chunk):
+        ids = np.arange(c0, c0 + chunk, dtype=np.int32)
+        act = (ids < N).astype(np.int32)
+        ids = np.minimum(ids, N - 1)
+        packed, (keeps, fXs, fns) = run_chunk(packed, jnp.asarray(ids),
+                                              jnp.asarray(act))
+        keeps = np.asarray(keeps)
+        fXs = np.asarray(fXs)
+        fns = np.asarray(fns)
+        for k in range(min(chunk, N - c0)):
+            i = c0 + k
+            keep_np = keeps[k]
+            out_pts.append(fXs[k][keep_np])
+            out_nrm.append(fns[k][keep_np])
+            if colors is not None:
+                ci = np.asarray(colors[i])
+                if ci.ndim == 2:
+                    ci = np.repeat(ci[..., None], 3, axis=-1)
+                out_col.append(ci[keep_np])
+            else:
+                out_col.append(np.full((int(keep_np.sum()), 3), 255.0,
+                                       np.float32))
 
     return (np.concatenate(out_pts), np.concatenate(out_nrm),
             np.concatenate(out_col))

@@ -129,7 +129,12 @@ def _fold_better(scene, params, parity, x, y,
     executable serializer)."""
     batch = getattr(cost_fn, "batch", None)
     if batch is not None:
-        ck_all = batch(scene, params, parity, cand_n, cand_d)
+        # cand_ok rides along so the two-stage cull's sparse ranking can
+        # exclude engine-invalid candidates (border propagation sources)
+        # from its argmin — a mispicked invalid winner would mask every
+        # valid runner-up to MAXCOST and lose the stage's acceptance.
+        ck_all = batch(scene, params, parity, cand_n, cand_d,
+                       cand_ok=cand_ok)
     else:
         ck_all = jax.lax.map(
             lambda nd: cost_fn(scene, params, parity, nd[0], nd[1]),

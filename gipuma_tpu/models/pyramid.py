@@ -95,7 +95,8 @@ def upsample2_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(up, pad, mode="edge")
 
 
-def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max):
+def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max,
+                 ledger=None):
     cost_fn = multiview_cost
     if params_l.cost_path == "rect":
         from ..ops.rect_cost import rect_multiview_cost
@@ -107,7 +108,8 @@ def _level_scene(images_l, rig_l, subset, params_l, depth_min, depth_max):
                            depth_min, depth_max, lite=True)
         try:
             scene, _ = build_rect_scene(images_l, rig_l, subset, params_l,
-                                        depth_min, depth_max, base=base)
+                                        depth_min, depth_max, base=base,
+                                        ledger=ledger)
             return scene, rect_multiview_cost
         except RectifyUnsupported as e:
             print(f"[gipuma_tpu] rect path unavailable at pyramid level "
@@ -123,7 +125,7 @@ def prepare_pyramid(images: Sequence[np.ndarray],
                     subset: Sequence[int],
                     params: AlgorithmParams,
                     depth_min: float, depth_max: float,
-                    lazy: bool = False):
+                    lazy: bool = False, ledger=None):
     """Build all level scenes (coarsest first).  Returns a list of
     (scene, cost_fn, params_l, (h_l, w_l)).
 
@@ -167,7 +169,7 @@ def prepare_pyramid(images: Sequence[np.ndarray],
 
     def level_item(il, rig_l, params_l):
         scene, cost_fn = _level_scene(il, rig_l, subset, params_l,
-                                      depth_min, depth_max)
+                                      depth_min, depth_max, ledger=ledger)
         return scene, cost_fn, params_l, il[0].shape[:2]
 
     futures = [ex.submit(level_item, il, rig_l, params_l)

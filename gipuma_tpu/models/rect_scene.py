@@ -36,9 +36,65 @@ from ..config import AlgorithmParams
 from ..geometry.camera import Rig
 from ..geometry.rectify import rectified_bounds, rectify_pair
 from ..ops.pallas_rowgather import pack_taps
-from ..ops.permute2d import build_tables, tile_span_blocks
+from ..ops.permute2d import (build_permute_masks, build_tables,
+                             tile_span_blocks)
 from ..ops.rect_cost import RectScene
-from .scene import build_scene
+from .scene import build_scene, pad_scene_views
+
+
+class ShapeBucketLedger:
+    """Scan-level executable-shape ratchet (config.rect_quantize_shapes).
+
+    The rect executables specialize on static dims (rect pad shape, view
+    count, gather/permute span bounds); quantization alone still lets two
+    reference views of a scan land in different buckets.  run_batch
+    threads one ledger through every prepare_job: each scene ratchets its
+    quantized bucket into the ledger entry for its image shape and builds
+    at the merged maximum, so after the largest view of a scan has been
+    seen, every later view reuses the same compiled executable set
+    (compile_s ~ 0 — the reference binary's start-instantly property,
+    main.cpp:973).  Thread-safe: run_batch preps one view ahead on a
+    planner thread."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._m: dict = {}
+
+    def apply(self, key, bucket: dict) -> dict:
+        """Merge `bucket` (monotone static dims) into the entry for `key`
+        (elementwise max) and return the merged floor."""
+        with self._lock:
+            cur = self._m.setdefault(key, dict(bucket))
+            for k, v in bucket.items():
+                cur[k] = max(cur[k], v)
+            return dict(cur)
+
+
+def _dummy_pair(t):
+    """Zero-work placeholder pair (dropped views / view-count padding):
+    zero valid extent (hw_valid = (0, 128) => the fused kernel skips every
+    row block), zero tile masks, 8x8 null permutation tables.  Costs one
+    padded view's XLA glue, no kernel work."""
+    return (np.zeros((t[0].shape[0], 8, 128), np.asarray(t[0]).dtype),
+            np.zeros((t[1].shape[0], 8, 128), np.asarray(t[1]).dtype),
+            np.zeros((3, 3)),
+            build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
+            build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
+            0, 128, 0, (0.0, 1.0), np.zeros((1, 1), np.int32),
+            np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32),
+            np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32))
+
+
+def _gather_reach(hrad: int, params: AlgorithmParams) -> int:
+    """Horizontal gather reach (px) of the fused window-cost kernel for a
+    window of half-size `hrad`: the outermost sampled column, plus the
+    extension-ring increment when gradients come from a ring of extra
+    samples rather than doubled one-sided in-window differences
+    (ops/pallas_sdg_fused.py XS_EXT)."""
+    return hrad + (params.window_increment
+                   if params.window_grads
+                   and not params.sdg_onesided_edges else 0)
 
 
 def _np_warp_channels(img: np.ndarray, T: np.ndarray, hr: int, wr: int,
@@ -290,13 +346,17 @@ def _pick_rotation(T_inv: np.ndarray, center: np.ndarray) -> int:
 def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                      view_subset: Sequence[int], params: AlgorithmParams,
                      depth_min: float, depth_max: float,
-                     base=None, max_blowup: float = 8.0
+                     base=None, max_blowup: float = 8.0,
+                     ledger: ShapeBucketLedger | None = None
                      ) -> tuple[RectScene, dict]:
     """Build the rect fast-path scene; returns (RectScene, build info).
 
     `base` lets callers reuse an existing ScenePack (build_scene otherwise).
     max_blowup: reject pairs whose rect window exceeds this multiple of the
     image area (near-epipole distortion would dominate the run).
+    ledger: optional scan-level shape ratchet (with
+    config.rect_quantize_shapes) so every reference view of a scan shares
+    one compiled executable set — see ShapeBucketLedger.
     """
     if base is None:
         base = build_scene(images, rig, view_subset, params,
@@ -631,47 +691,15 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                 "blocks per tile (map too distorted for the "
                 "scratch-window gather)")
 
-        # Per-[8, 128]-tile read-back-target mask: the fused kernel skips
-        # tiles with no target (the empty bbox triangles of a tilted
-        # footprint quad + the source-footprint column margin).  The
-        # return permutation only addresses target coordinates
-        # (ops/permute2d.py), so skipped tiles are never read.
-        hp8 = _round_up(hr, 8)
-        tgt_p = np.zeros((hp8, wr), bool)
-        tgt_p[:hr] = tgt
-        tile_ok = tgt_p.reshape(hp8 // 8, 8, wr // 128, 128).any(
-            axis=(1, 3)).astype(np.int32)
-
-        # Permutation-pass tile masks (ops/permute2d mask contract), both
-        # derived from the same read-back-target set as tile_ok:
-        # fwd2_ok masks pass 2 of the state->rect forward permutation
-        # (TRANSPOSED [wr, hr] output space, [8-col, 128-row] rect tiles):
-        # a tile must run iff it covers any pixel of any fused-kernel-
-        # evaluated (tile_ok) rect tile — the fused kernel reads the
-        # permuted plane field over WHOLE [8, 128] tiles it evaluates.
-        hp128 = _round_up(hr, 128)
-        pix = np.zeros((hp128, wr), bool)
-        pix[:hp8] = np.repeat(np.repeat(tile_ok > 0, 8, 0), 128, 1)
-        fwd2_ok = pix.T.reshape(wr // 8, 8, hp128 // 128, 128).any(
-            axis=(1, 3)).astype(np.int32)
-        # ret1_ok masks pass 1 of the rect->state return permutation
-        # ([hr, s_sq] output space): tile (r-block, l-group) must run iff
-        # some CONSUMED state output (s0 < hk, l < wk after un-rotation;
-        # dilated to pass-2 [8, 128] tile granularity) selects row
-        # ret.r[s0, l] in the block.  Rows selected only by smooth-fill
-        # outputs outside that region land in never-consumed coordinates.
-        hk, wk = (w, h) if k_rot % 2 else (h, w)
-        ce_h = min(_round_up(hk, 128), s_sq)
-        ce_w = min(_round_up(wk, 8), s_sq)
-        rsel = np.clip(np.round(ret.r[:ce_h, :ce_w]).astype(np.int64),
-                       0, hr - 1)
-        lsel = np.broadcast_to(np.arange(ce_w), rsel.shape)
-        ret1_ok = np.zeros((hp8 // 8, _round_up(s_sq, 128) // 128),
-                           np.int32)
-        ret1_ok[rsel // 8, lsel // 128] = 1
+        # Fused-kernel + permutation-pass tile masks, all derived from the
+        # read-back-target set (see ops/permute2d.build_permute_masks for
+        # the five mask geometries and their skip contracts).
+        tile_ok, fwd1_ok, fwd2_ok, ret1_ok, ret2_ok = build_permute_masks(
+            tgt, fwd, ret, hr, wr, s_sq, k_rot, h, w)
 
         pair = (ref_rect, src_rect, L_local, fwd, ret, hr, wr,
-                k_rot, (d_lo, d_hi), tile_ok, fwd2_ok, ret1_ok)
+                k_rot, (d_lo, d_hi), tile_ok, fwd2_ok, ret1_ok,
+                fwd1_ok, ret2_ok)
         pinfo = {
             "view": v, "rect_shape": (hr, wr), "rot_k": k_rot,
             "scales": (round(a_scale, 3), round(b_shear, 3),
@@ -711,14 +739,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         print(f"[gipuma_tpu] rect path: dropping "
               f"{len(dropped)}/{len(view_subset)} unsupported view(s) "
               f"{[d['view'] for d in dropped]} (invalid-view cost)")
-        t = good[0]
-        dummy = (np.zeros((t[0].shape[0], 8, 128), np.asarray(t[0]).dtype),
-                 np.zeros((t[1].shape[0], 8, 128), np.asarray(t[1]).dtype),
-                 np.zeros((3, 3)),
-                 build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
-                 build_tables(np.zeros((8, 8)), np.zeros((8, 8)), 8, 8),
-                 0, 128, 0, (0.0, 1.0), np.zeros((1, 1), np.int32),
-                 np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32))
+        dummy = _dummy_pair(good[0])
         built_pairs = [(p if p is not None else dummy, pi)
                        for p, pi in built_pairs]
         vv = np.asarray(base.view_valid).copy()
@@ -733,6 +754,40 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     hrp = _round_up(max(p[5] for p in good), 8)
     wrp = max(p[6] for p in good)
     s_sq = max(h, w)
+    max_range = max(p[8][1] - p[8][0] for p in good)
+    # Verified per pair at build (build_pair raises past 6 blocks).
+    span_perm = max(pi["span_perm"] for _, pi in built_pairs
+                    if "span_perm" in pi)
+
+    if getattr(params, "rect_quantize_shapes", False):
+        # Executable-shape quantization (config.rect_quantize_shapes):
+        # round every static dim the rect executables specialize on up to
+        # coarse buckets — rect pads, view count (zero-work dummy views),
+        # the clamp range feeding the gather-span bound, the permutation
+        # span — so one compiled set serves a whole scan.  The kernel-side
+        # pad cost is ~zero (hw_valid + tile masks skip padded blocks);
+        # padded XLA glue measured ~2-3% (ROADMAP round 3).
+        hrp = _round_up(hrp, _round_up(max(
+            8, int(params.rect_quantum_rows)), 8))
+        wrp = _round_up(wrp, _round_up(max(
+            128, int(params.rect_quantum_cols)), 128))
+        q = max(1.0, float(params.rect_quantum_range))
+        max_range = float(np.ceil(max_range / q) * q)
+        span_perm = _round_up(span_perm, 2)
+        vt = max(len(per_pair),
+                 int(params.rect_pad_views_to) or int(params.max_views))
+        if ledger is not None:
+            fl = ledger.apply(
+                (h, w), dict(hrp=hrp, wrp=wrp, max_range=max_range,
+                             span_perm=span_perm, views=vt))
+            hrp, wrp, vt = fl["hrp"], fl["wrp"], fl["views"]
+            max_range, span_perm = fl["max_range"], fl["span_perm"]
+        if vt > len(per_pair):
+            per_pair = per_pair + [_dummy_pair(good[0])] * (vt
+                                                            - len(per_pair))
+            base = pad_scene_views(base, vt)
+    info["shape_bucket"] = dict(hrp=hrp, wrp=wrp, views=len(per_pair),
+                                max_range=max_range, span_perm=span_perm)
 
     # Pad + stack in NUMPY, one device transfer per final array: doing this
     # with jnp ops issues dozens of small device calls through the TPU
@@ -743,16 +798,22 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # channels tolerate f16's 2^-11 relative error (same class as the bf16
     # tap packing).  Falls back to f32 for tables beyond f16's exact-int
     # range (>2 K-pixel rect grids).
-    def assemble(arrs, th, tw, f16_ok, edge=False) -> jnp.ndarray:
+    def assemble(arrs, th, tw, f16_ok, edge=False,
+                 i16=False) -> jnp.ndarray:
         """Pad each [..., h, w] array to [th, tw], stack over a new view
         axis, and ship — ONE preallocated host buffer in the transfer dtype
         instead of a pad -> stack -> astype copy chain per array.
         edge=True replicates the last row/column into the padding (so
-        device-side gradient operators stay consistent at the borders)."""
+        device-side gradient operators stay consistent at the borders).
+        i16=True ships f32 arrays holding EXACT INTEGER values < 32768
+        (permutation tables past f16's 2048 exact-int range — the DTU
+        full-scale case, where table transfer was ~half the 30 s relay
+        payload per reference view) as int16, cast back on device."""
         a0 = np.asarray(arrs[0])
-        f16 = f16_ok and a0.dtype == np.float32
-        out = np.zeros((len(arrs),) + a0.shape[:-2] + (th, tw),
-                       np.float16 if f16 else a0.dtype)
+        i16 = i16 and a0.dtype == np.float32
+        f16 = f16_ok and a0.dtype == np.float32 and not i16
+        dt = np.float16 if f16 else (np.int16 if i16 else a0.dtype)
+        out = np.zeros((len(arrs),) + a0.shape[:-2] + (th, tw), dt)
         for i, a in enumerate(arrs):
             ah, aw = a.shape[-2], a.shape[-1]
             out[i, ..., :ah, :aw] = a
@@ -760,9 +821,10 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                 out[i, ..., ah:, :aw] = a[..., -1:, :]
                 out[i, ..., :, aw:] = out[i, ..., :, aw - 1:aw]
         x = jnp.asarray(out)
-        return x.astype(jnp.float32) if f16 else x
+        return x.astype(jnp.float32) if (f16 or i16) else x
 
     tables_f16 = max(hrp, wrp, s_sq) <= 2048
+    tables_i16 = not tables_f16 and max(hrp, wrp, s_sq) <= 32767
 
     sdg_mode = params.pack_taps and params.window_grads
     if sdg_mode:
@@ -783,10 +845,14 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         src_rect = assemble([p[1] for p in per_pair], hrp, wrp,
                             not params.pack_taps)
     L = jnp.asarray(np.stack([p[2] for p in per_pair]), jnp.float32)
-    fwd_c1 = assemble([p[3].c1 for p in per_pair], s_sq, wrp, tables_f16)
-    fwd_r = assemble([p[3].r for p in per_pair], hrp, wrp, tables_f16)
-    ret_c1 = assemble([p[4].c1 for p in per_pair], hrp, s_sq, tables_f16)
-    ret_r = assemble([p[4].r for p in per_pair], s_sq, s_sq, tables_f16)
+    fwd_c1 = assemble([p[3].c1 for p in per_pair], s_sq, wrp, tables_f16,
+                      i16=tables_i16)
+    fwd_r = assemble([p[3].r for p in per_pair], hrp, wrp, tables_f16,
+                     i16=tables_i16)
+    ret_c1 = assemble([p[4].c1 for p in per_pair], hrp, s_sq, tables_f16,
+                      i16=tables_i16)
+    ret_r = assemble([p[4].r for p in per_pair], s_sq, s_sq, tables_f16,
+                     i16=tables_i16)
     rot_k = jnp.asarray([p[7] for p in per_pair], jnp.int32)
     disp_bounds = jnp.asarray(np.asarray([p[8] for p in per_pair],
                                          np.float32))
@@ -805,14 +871,22 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
 
     # Permute-pass tile masks, zero-padded onto the common tile grids
     # (zeros = skip; pad rows/cols and dummy views do no permute work).
+    s8 = -(-s_sq // 8)
+    s128 = -(-s_sq // 128)
     f2_np = np.zeros((len(per_pair), wrp // 8, -(-hrp // 128)), np.int32)
-    r1_np = np.zeros((len(per_pair), hrp // 8, -(-s_sq // 128)), np.int32)
+    r1_np = np.zeros((len(per_pair), hrp // 8, s128), np.int32)
+    f1_np = np.zeros((len(per_pair), s8, wrp // 128), np.int32)
+    r2_np = np.zeros((len(per_pair), s8, s128), np.int32)
     for i, p in enumerate(per_pair):
-        f2, r1 = p[10], p[11]
+        f2, r1, f1, r2 = p[10], p[11], p[12], p[13]
         f2_np[i, :f2.shape[0], :f2.shape[1]] = f2
         r1_np[i, :r1.shape[0], :r1.shape[1]] = r1
+        f1_np[i, :f1.shape[0], :f1.shape[1]] = f1
+        r2_np[i, :r2.shape[0], :r2.shape[1]] = r2
     fwd2_ok = jnp.asarray(f2_np)
     ret1_ok = jnp.asarray(r1_np)
+    fwd1_ok = jnp.asarray(f1_np)
+    ret2_ok = jnp.asarray(r2_np)
 
     # Static row_gather scratch-window bounds (see ops/pallas_rowgather):
     # sampling span = tile width (128) + window reach (±hrad, plus the
@@ -820,21 +894,29 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     # range + bilinear tap slack; the trailing +1 block absorbs the
     # 128-alignment of the scratch-window base.  Permute span is measured
     # exactly from the built tables.
-    max_range = max(p[8][1] - p[8][0] for p in good)
-    reach = params.box_hrad + (params.window_increment
-                               if params.window_grads
-                               and not params.sdg_onesided_edges else 0)
+    reach = _gather_reach(params.box_hrad, params)
+    if getattr(params, "rect_two_stage_cull", False):
+        # The two-stage cull's sparse screening pass (ops/rect_cost.
+        # rect_multiview_cost_batch) gathers with its OWN window geometry
+        # (cull_box at cull_increment); the scratch-window bound must
+        # cover whichever pass reaches further, or the fused kernel
+        # silently returns zero for out-of-window samples (identically in
+        # device and interpret mode — invisible to tpu_kernel_equiv).
+        # Bites at pyramid_coarse_box 7 (reach 3 < cull reach 4) and on
+        # the extension-ring gradient path (reach 7 < cull reach 8).
+        reach = max(reach, _gather_reach(
+            int(getattr(params, "cull_box", 9)) // 2,
+            params.replace(window_increment=int(
+                getattr(params, "cull_increment", 4)))))
     span_sample = int(np.ceil((132.0 + 2 * reach + max_range) / 128.0)) + 1
-    # Verified per pair at build (build_pair raises past 6 blocks).
-    span_perm = max(pi["span_perm"] for _, pi in built_pairs
-                    if "span_perm" in pi)
     spans = jnp.zeros((span_sample, span_perm), jnp.int8)
 
     scene = RectScene(base=base, ref_rect=ref_rect, src_rect=src_rect, L=L,
                       fwd_c1=fwd_c1, fwd_r=fwd_r, ret_c1=ret_c1, ret_r=ret_r,
                       rot_k=rot_k, disp_bounds=disp_bounds, spans=spans,
                       hw_valid=hw_valid, tile_ok=tile_ok,
-                      fwd2_ok=fwd2_ok, ret1_ok=ret1_ok)
+                      fwd2_ok=fwd2_ok, ret1_ok=ret1_ok,
+                      fwd1_ok=fwd1_ok, ret2_ok=ret2_ok)
     info["rect_shape_padded"] = (hrp, wrp)
     info["spans"] = (span_sample, span_perm)
     return scene, info

@@ -145,7 +145,10 @@ def _row_gather_kernel(src_ref, x_ref, o_ref, scratch_ref, *, W, NB, C, G,
                         continue
                     out = v0 * (1 - fx) + v1 * fx
                 elif NEAREST:
-                    v0 = jnp.zeros((8, 128), jnp.float32)
+                    # Pure selection — dtype-agnostic: int32 sources (e.g.
+                    # the f16-pair-packed plane words of ops/rect_cost.
+                    # _pack_m) pass through bit-exactly.
+                    v0 = jnp.zeros((8, 128), src_ref.dtype)
                     for b in range(nblk):
                         blk = blk_at(b)
                         cl = cl_all - b * 128
@@ -206,8 +209,11 @@ def _row_gather_call(src_chw, x, tm=None, interpret=False,
     co = C + C // 2 if grad_fwd else C
     nb = W // 128
     span = nb if max_span_blocks is None else min(max_span_blocks, nb)
+    # NEAREST wins over PACKED: an int32 source under nearest selection is
+    # passed through as opaque words (no bf16 tap unpacking).
     statics = dict(W=W, NB=nb, C=C, G=WS // 128, SPAN=span, B=B,
-                   PACKED=packed, GFWD=grad_fwd, NEAREST=nearest)
+                   PACKED=packed and not nearest, GFWD=grad_fwd,
+                   NEAREST=nearest)
     kernel = (functools.partial(_row_gather_kernel, **statics)
               if tm is None else
               functools.partial(_row_gather_kernel_masked, **statics))
@@ -226,12 +232,16 @@ def _row_gather_call(src_chw, x, tm=None, interpret=False,
         assert tm.shape == (M // 8, WS // 128), (tm.shape, M, WS)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         args = (tm, src_chw, x)
+    # NEAREST is pure selection, so the output keeps the source dtype
+    # (int32 packed words pass through bit-exactly); the lerp paths emit
+    # f32 (packed taps are unpacked in-kernel).
+    out_dtype = src_chw.dtype if nearest else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(M // br,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((B, co, br, WS), lambda i: (0, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, co, M, WS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, co, M, WS), out_dtype),
         scratch_shapes=[pltpu.VMEM((8, span * 128), src_chw.dtype)],
         interpret=interpret,
     )(*args)

@@ -221,8 +221,8 @@ def permute2d(x: jnp.ndarray, c1: jnp.ndarray, r: jnp.ndarray,
     kernel's fast scratch-window path.
 
     mask1 / mask2: optional int32 output-tile masks for the two gather
-    passes (built inline in models/rect_scene.build_rect_scene — the
-    fwd2_ok / ret1_ok permutation-pass tile masks): mask1 is
+    passes (`build_permute_masks` derives the fwd2_ok / ret1_ok
+    permutation-pass tile masks from the read-back-target set): mask1 is
     [ceil(in_h/8), ceil(out_w/128)] over pass 1's [in_h, out_w] output,
     mask2 is [ceil(out_w/8), ceil(out_h/128)] over pass 2's TRANSPOSED
     [out_w, out_h] output.  Masked-off [8, 128] tiles do no work and hold
@@ -291,6 +291,89 @@ def tile_span_blocks(x: np.ndarray, transposed: bool = False) -> int:
     x0 = np.floor(mn).astype(np.int64)
     x1 = np.floor(mx).astype(np.int64) + 1
     return int(((x1 - (x0 // 128) * 128) // 128 + 1).max())
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def build_permute_masks(tgt: np.ndarray, fwd: PermuteTables,
+                        ret: PermuteTables,
+                        hr: int, wr: int, s_sq: int, k_rot: int,
+                        h: int, w: int):
+    """Tile masks for the rect fast path's skip machinery, all derived from
+    one read-back-target set `tgt` ([hr, wr] bool: rect coordinates the
+    return permutation addresses — see models/rect_scene.build_rect_scene).
+
+    Returns (tile_ok, fwd1_ok, fwd2_ok, ret1_ok, ret2_ok) int32 masks —
+    one per fused-kernel tile plus one per pass of each 2-pass
+    permutation, so every gather pass skips tiles whose outputs are never
+    consumed:
+
+    * tile_ok [ceil(hr/8), wr/128]: per-[8, 128]-tile target mask — the
+      fused cost kernel (ops/pallas_sdg_fused.py) skips tiles with no
+      target (the empty bbox triangles of a tilted footprint quad plus the
+      source-footprint column margin); skipped tiles are never read back.
+    * fwd2_ok [wr/8, ceil(hr/128)]: pass-2 mask of the state->rect forward
+      permutation (TRANSPOSED [wr, hr] output space): a tile must run iff
+      it covers any pixel of any fused-kernel-evaluated (tile_ok) rect
+      tile — the kernel reads the permuted plane field over WHOLE [8, 128]
+      tiles it evaluates.
+    * fwd1_ok [ceil(s_sq/8), wr/128]: pass-1 mask of the forward
+      permutation ([s_sq, wr] output space): pass 2 computes whole tiles
+      it is enabled on and within them reads A[fwd.r[s, l], l] for EVERY
+      (s, l) of the tile, so pass-1 tile (r-block, l-group) must run iff
+      some such read selects row r in the block (same geometry as
+      ret1_ok, one pass earlier).
+    * ret1_ok [ceil(hr/8), ceil(s_sq/128)]: pass-1 mask of the rect->state
+      return permutation ([hr, s_sq] output space): tile (r-block,
+      l-group) must run iff some CONSUMED state output (s0 < hk, l < wk
+      after un-rotating by k_rot; dilated to pass-2 [8, 128] tile
+      granularity) selects row ret.r[s0, l] in the block.  Rows selected
+      only by smooth-fill outputs outside that region land in
+      never-consumed coordinates.
+    * ret2_ok [ceil(s_sq/8), ceil(s_sq/128)]: pass-2 mask of the return
+      permutation (TRANSPOSED [s_sq, s_sq] output space): the consumed
+      state outputs form the un-rotated [hk, wk] rectangle, so this is a
+      static rectangle mask — the S x S square pad beyond it (~25% at
+      4:3 images) is never consumed.
+    """
+    hp8 = _round_up(hr, 8)
+    tgt_p = np.zeros((hp8, wr), bool)
+    tgt_p[:hr] = tgt
+    tile_ok = tgt_p.reshape(hp8 // 8, 8, wr // 128, 128).any(
+        axis=(1, 3)).astype(np.int32)
+
+    hp128 = _round_up(hr, 128)
+    pix = np.zeros((hp128, wr), bool)
+    pix[:hp8] = np.repeat(np.repeat(tile_ok > 0, 8, 0), 128, 1)
+    fwd2_ok = pix.T.reshape(wr // 8, 8, hp128 // 128, 128).any(
+        axis=(1, 3)).astype(np.int32)
+
+    # fwd1_ok: consumed (s, l) = pixel dilation of fwd2_ok's ENABLED
+    # tiles (pass 2 gathers whole tiles), i.e. pix above restricted to
+    # the real [hr, wr] extent.
+    cons_f = pix[:hr, :wr]
+    rsel_f = np.clip(np.round(fwd.r[:hr, :wr]).astype(np.int32),
+                     0, s_sq - 1)[cons_f]
+    lsel_f = np.broadcast_to(np.arange(wr, dtype=np.int32),
+                             (hr, wr))[cons_f]
+    fwd1_ok = np.zeros((_round_up(s_sq, 8) // 8, wr // 128), np.int32)
+    fwd1_ok[rsel_f // 8, lsel_f // 128] = 1
+
+    hk, wk = (w, h) if k_rot % 2 else (h, w)
+    ce_h = min(_round_up(hk, 128), s_sq)
+    ce_w = min(_round_up(wk, 8), s_sq)
+    rsel = np.clip(np.round(ret.r[:ce_h, :ce_w]).astype(np.int64),
+                   0, hr - 1)
+    lsel = np.broadcast_to(np.arange(ce_w), rsel.shape)
+    ret1_ok = np.zeros((hp8 // 8, _round_up(s_sq, 128) // 128), np.int32)
+    ret1_ok[rsel // 8, lsel // 128] = 1
+
+    ret2_ok = np.zeros((_round_up(s_sq, 8) // 8,
+                        _round_up(s_sq, 128) // 128), np.int32)
+    ret2_ok[:-(-wk // 8), :-(-hk // 128)] = 1
+    return tile_ok, fwd1_ok, fwd2_ok, ret1_ok, ret2_ok
 
 
 def permute2d_take(x: jnp.ndarray, R: jnp.ndarray, C: jnp.ndarray

@@ -529,6 +529,13 @@ class RectScene(NamedTuple):
     # (rect->state) permutation.  None disables the permute skip.
     fwd2_ok: jnp.ndarray = None
     ret1_ok: jnp.ndarray = None
+    # Round-5 additions covering the remaining two (previously unmasked)
+    # permute passes: fwd1_ok [V, ceil(S/8), Wrp/128] masks pass 1 of the
+    # forward permutation; ret2_ok [V, ceil(S/8), ceil(S/128)] masks
+    # pass 2 of the return permutation (the S x S square pad beyond the
+    # un-rotated [hk, wk] consumed rectangle — ~25% of that pass at 4:3).
+    fwd1_ok: jnp.ndarray = None
+    ret2_ok: jnp.ndarray = None
 
     # --- engine-facing delegation (models/patchmatch.py reads these) ---
     @property
@@ -619,7 +626,42 @@ def _slice_views(scene: RectScene, stride: int) -> RectScene:
         ret_c1=sl(scene.ret_c1), ret_r=sl(scene.ret_r),
         rot_k=sl(scene.rot_k), disp_bounds=sl(scene.disp_bounds),
         hw_valid=sl(scene.hw_valid), tile_ok=sl(scene.tile_ok),
-        fwd2_ok=sl(scene.fwd2_ok), ret1_ok=sl(scene.ret1_ok))
+        fwd2_ok=sl(scene.fwd2_ok), ret1_ok=sl(scene.ret1_ok),
+        fwd1_ok=sl(scene.fwd1_ok), ret2_ok=sl(scene.ret2_ok))
+
+
+def _pack_m(m_chw: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-candidate plane vectors m = n/d for the forward permute:
+    [K, 3, H, W] f32 -> [K, 2, H, W] int32 with channel 0 =
+    (f16(m0) << 16) | f16(m1) and channel 1 = bitcast(m2).  The permute is
+    pure nearest-neighbor selection (ops/permute2d), so the words pass
+    through bit-exactly; 2 words instead of 3 f32 channels is a 1/3 cut
+    of the forward permute's gather work — the co-dominant device cost
+    after round 4 (ROADMAP.md: permutes ~35%).  f16 carries ~5e-4
+    relative error on the two smaller components => ~0.01 px on typical
+    disparity fields, far below the 1/32 px warp quantization the build
+    already accepts (config.rect_pack_m gates it)."""
+    h0 = jax.lax.bitcast_convert_type(
+        m_chw[:, 0].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    h1 = jax.lax.bitcast_convert_type(
+        m_chw[:, 1].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    w01 = jax.lax.bitcast_convert_type(
+        jnp.left_shift(h0, 16) | h1, jnp.int32)
+    w2 = jax.lax.bitcast_convert_type(m_chw[:, 2], jnp.int32)
+    return jnp.stack([w01, w2], axis=1)
+
+
+def _unpack_m(mp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _pack_m on the rect grid: [K, 2, Hr, Wr] int32 ->
+    [K, 3, Hr, Wr] f32."""
+    w01 = jax.lax.bitcast_convert_type(mp[:, 0], jnp.uint32)
+    m0 = jax.lax.bitcast_convert_type(
+        jnp.right_shift(w01, 16).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    m1 = jax.lax.bitcast_convert_type(
+        w01.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    m2 = jax.lax.bitcast_convert_type(mp[:, 1], jnp.float32)
+    return jnp.stack([m0, m1, m2], axis=1)
 
 
 def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
@@ -649,6 +691,10 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     m = n / d[..., None]                                   # [K, H, W2, 3]
     m_full = jnp.repeat(m, 2, axis=2)                      # [K, H, W, 3]
     m_chw = jnp.moveaxis(m_full, -1, 1)                    # [K, 3, H, W]
+    pack_m = bool(getattr(params, "rect_pack_m", True))
+    if pack_m:
+        m_chw = _pack_m(m_chw)                             # [K, 2, H, W]
+    MC = m_chw.shape[1]
     h, w = m_full.shape[1:3]
     s = scene.fwd_c1.shape[-2]
     span_sample = scene.spans.shape[-2]
@@ -658,8 +704,8 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         rk = jnp.rot90(m_chw, k=k, axes=(-2, -1))
         return jnp.pad(rk, ((0, 0), (0, 0), (0, s - rk.shape[-2]),
                             (0, s - rk.shape[-1])))
-    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, K, 3, S, S]
-    m_rots = m_rots.reshape(4, K * 3, s, s)
+    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, K, MC, S, S]
+    m_rots = m_rots.reshape(4, K * MC, s, s)
 
     def unrot_branch(k):
         def f(c_sq):                                       # [K, S, S]
@@ -692,16 +738,27 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     else:
         f2_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
         r1_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
+    # The other two passes' masks (round 5; older scenes may lack them).
+    pskip2 = (pskip and scene.fwd1_ok is not None
+              and scene.ret2_ok is not None)
+    if pskip2:
+        f1_all, r2_all = scene.fwd1_ok, scene.ret2_ok
+    else:
+        f1_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
+        r2_all = jnp.zeros((scene.num_views, 0, 0), jnp.int32)
 
     def view_body(_, vin):
         (ref_r, src_r, Lv, fc1, fr, rc1, rr, kv, dbv, validv, hwv, tmv,
-         f2v, r1v) = vin
+         f2v, r1v, f1v, r2v) = vin
         m_sel = jax.lax.dynamic_index_in_dim(m_rots, kv, axis=0,
                                              keepdims=False)
         m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
                            max_span_blocks=span_perm,
-                           mask2=f2v if pskip else None)   # [K3, Hrp, Wrp]
-        m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
+                           mask1=f1v if pskip2 else None,
+                           mask2=f2v if pskip else None)   # [K*MC, Hrp, Wrp]
+        m_rect = m_rect.reshape(K, MC, *m_rect.shape[1:])
+        if pack_m:
+            m_rect = _unpack_m(m_rect)                     # [K, 3, Hrp, Wrp]
         abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
         # NOTE: on the window_grads default this dispatches into the fused
         # window-cost kernel (ops/pallas_sdg_fused.py).  An earlier
@@ -716,7 +773,8 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                                          hw_valid=hwv, tile_ok=tmv)
         cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret,
                             max_span_blocks=span_perm,
-                            mask1=r1v if pskip else None)  # [K, S, S]
+                            mask1=r1v if pskip else None,
+                            mask2=r2v if pskip2 else None)  # [K, S, S]
         cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)
         cost_act = jnp.where(rp == 0, cost_full[:, :, 0::2],
                              cost_full[:, :, 1::2])        # [K, H, W2]
@@ -729,7 +787,7 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         (scene.ref_rect, scene.src_rect, scene.L,
          scene.fwd_c1, scene.fwd_r, scene.ret_c1, scene.ret_r,
          scene.rot_k, scene.disp_bounds, scene.view_valid, hwv_all,
-         tm_all, f2_all, r1_all))
+         tm_all, f2_all, r1_all, f1_all, r2_all))
     return costs                                           # [V, K, H, W2]
 
 
@@ -743,7 +801,8 @@ def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
 
 
 def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
-                              parity: int, n: jnp.ndarray, d: jnp.ndarray
+                              parity: int, n: jnp.ndarray, d: jnp.ndarray,
+                              cand_ok: jnp.ndarray | None = None
                               ) -> jnp.ndarray:
     """Combined multiview cost for K stacked candidates: [K, H, W2].
 
@@ -780,6 +839,12 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
                                        scene.cy, scene.alpha_focal)
         in_range = ((depth_all >= scene.depth_min)
                     & (depth_all <= scene.depth_max))
+        if cand_ok is not None:
+            # Engine-invalid candidates (cand_ok=False in _fold_better,
+            # e.g. border propagation sources) can never be accepted;
+            # letting one win the sparse screen would waste the full
+            # evaluation on it and MAXCOST-mask the valid runners-up.
+            in_range = in_range & cand_ok
         kb = jnp.argmin(jnp.where(in_range, c_s, MAXCOST + 1.0),
                         axis=0)                             # [H, W2]
         n_sel = jnp.take_along_axis(n, kb[None, :, :, None],

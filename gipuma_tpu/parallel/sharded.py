@@ -52,7 +52,10 @@ def view_sharded_cost_fn(axis_name: str = "view",
         return combine_view_costs(full, params, view_valid=vv)
 
     if rect:
-        def cost_fn_batch(scene, params, parity, n, d):
+        def cost_fn_batch(scene, params, parity, n, d, cand_ok=None):
+            # cand_ok is part of the batch cost protocol (patchmatch.
+            # _fold_better); the sharded path runs no candidate culling,
+            # so it is unused here.
             local = rect_per_view_costs_batch(scene, params, parity, n, d)
             full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
             vv = jax.lax.all_gather(scene.view_valid, axis_name, axis=0,
@@ -88,6 +91,10 @@ def _scene_specs(scene, batched: bool):
                           fwd2_ok=(None if scene.fwd2_ok is None
                                    else view),
                           ret1_ok=(None if scene.ret1_ok is None
+                                   else view),
+                          fwd1_ok=(None if scene.fwd1_ok is None
+                                   else view),
+                          ret2_ok=(None if scene.ret2_ok is None
                                    else view))
     return specs
 
@@ -105,41 +112,27 @@ def pad_rect_scene_views(scene: RectScene, multiple: int) -> RectScene:
         return jnp.concatenate(
             [a, jnp.repeat(a[:1], target - V, axis=0)], axis=0)
 
+    def padz(a):
+        # Padded dummy views do ZERO kernel work (extent 0, all tiles
+        # masked off); their costs are garbage and masked by
+        # view_valid = 0.
+        if a is None:
+            return None
+        return jnp.concatenate(
+            [a, jnp.zeros((target - V,) + a.shape[1:], a.dtype)], axis=0)
+
     return RectScene(base=base, ref_rect=pad0(scene.ref_rect),
                      src_rect=pad0(scene.src_rect), L=pad0(scene.L),
                      fwd_c1=pad0(scene.fwd_c1), fwd_r=pad0(scene.fwd_r),
                      ret_c1=pad0(scene.ret_c1), ret_r=pad0(scene.ret_r),
                      rot_k=pad0(scene.rot_k),
                      disp_bounds=pad0(scene.disp_bounds), spans=scene.spans,
-                     # Padded dummy views do ZERO kernel work (extent 0,
-                     # all tiles masked off); their costs are garbage and
-                     # masked by view_valid = 0.
-                     hw_valid=(None if scene.hw_valid is None else
-                               jnp.concatenate(
-                                   [scene.hw_valid,
-                                    jnp.zeros((target - V, 2), jnp.int32)],
-                                   axis=0)),
-                     tile_ok=(None if scene.tile_ok is None else
-                              jnp.concatenate(
-                                  [scene.tile_ok,
-                                   jnp.zeros((target - V,)
-                                             + scene.tile_ok.shape[1:],
-                                             scene.tile_ok.dtype)],
-                                  axis=0)),
-                     fwd2_ok=(None if scene.fwd2_ok is None else
-                              jnp.concatenate(
-                                  [scene.fwd2_ok,
-                                   jnp.zeros((target - V,)
-                                             + scene.fwd2_ok.shape[1:],
-                                             scene.fwd2_ok.dtype)],
-                                  axis=0)),
-                     ret1_ok=(None if scene.ret1_ok is None else
-                              jnp.concatenate(
-                                  [scene.ret1_ok,
-                                   jnp.zeros((target - V,)
-                                             + scene.ret1_ok.shape[1:],
-                                             scene.ret1_ok.dtype)],
-                                  axis=0)))
+                     hw_valid=padz(scene.hw_valid),
+                     tile_ok=padz(scene.tile_ok),
+                     fwd2_ok=padz(scene.fwd2_ok),
+                     ret1_ok=padz(scene.ret1_ok),
+                     fwd1_ok=padz(scene.fwd1_ok),
+                     ret2_ok=padz(scene.ret2_ok))
 
 
 # Compiled sharded runners cached by (mesh, params, scene treedef+shapes):

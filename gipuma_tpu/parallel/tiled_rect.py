@@ -109,12 +109,17 @@ def _repad_rect(scene: RectScene, hrp: int, wrp: int) -> RectScene:
     ret1_ok = scene.ret1_ok
     if ret1_ok is not None:
         ret1_ok = jnp.pad(ret1_ok, ((0, 0), (0, dh // 8), (0, 0)))
+    fwd1_ok = scene.fwd1_ok
+    if fwd1_ok is not None:
+        # Pass-1 output is [S, wrp]: S is band-invariant, pad columns.
+        fwd1_ok = jnp.pad(fwd1_ok, ((0, 0), (0, 0), (0, dw // 128)))
     return scene._replace(
         ref_rect=zpad(scene.ref_rect), src_rect=zpad(scene.src_rect),
         fwd_c1=jnp.pad(scene.fwd_c1, ((0, 0), (0, 0), (0, dw)), mode="edge"),
         fwd_r=jnp.pad(scene.fwd_r, ((0, 0), (0, dh), (0, dw)), mode="edge"),
         ret_c1=jnp.pad(scene.ret_c1, ((0, 0), (0, dh), (0, 0)), mode="edge"),
-        tile_ok=tile_ok, fwd2_ok=fwd2_ok, ret1_ok=ret1_ok)
+        tile_ok=tile_ok, fwd2_ok=fwd2_ok, ret1_ok=ret1_ok,
+        fwd1_ok=fwd1_ok)
 
 
 class TiledRectPrep(NamedTuple):
@@ -259,7 +264,9 @@ def _tiled_specs(scene: RectScene, tile_axis: str, view_axis: str):
                      hw_valid=view,
                      tile_ok=None if scene.tile_ok is None else view,
                      fwd2_ok=None if scene.fwd2_ok is None else view,
-                     ret1_ok=None if scene.ret1_ok is None else view)
+                     ret1_ok=None if scene.ret1_ok is None else view,
+                     fwd1_ok=None if scene.fwd1_ok is None else view,
+                     ret2_ok=None if scene.ret2_ok is None else view)
 
 
 def run_patchmatch_tiled_rect(prep: TiledRectPrep, key, mesh: Mesh,

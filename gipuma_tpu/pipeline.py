@@ -105,12 +105,15 @@ def prepare_job(images: Sequence[np.ndarray],
                 P_matrices: Sequence[np.ndarray],
                 params: AlgorithmParams,
                 image_names: Sequence[str] | None = None,
-                ref_index: int = 0) -> PreparedJob:
+                ref_index: int = 0, ledger=None) -> PreparedJob:
     """Plan one reference view's job and start its scene builds.
 
     images/P_matrices are for all cameras; `ref_index` selects the reference
     (the reference binary requires the caller to put it first — we swap
     internally, like the --camera_idx pmvs path, main.cpp:409-421).
+    ledger: optional rect_scene.ShapeBucketLedger shared across a scan so
+    every reference view builds at the same quantized executable shapes
+    (config.rect_quantize_shapes; run_batch threads one through).
     """
     order = [ref_index] + [i for i in range(len(images)) if i != ref_index]
     images = [np.asarray(images[i], dtype=np.float32) for i in order]
@@ -133,7 +136,8 @@ def prepare_job(images: Sequence[np.ndarray],
     if params.pyramid_levels > 1:
         from .models.pyramid import prepare_pyramid
         prep = prepare_pyramid(images, Ps, names, subset, params,
-                               depth_min, depth_max, lazy=True)
+                               depth_min, depth_max, lazy=True,
+                               ledger=ledger)
         return PreparedJob(prep=prep, params=params, view_subset=subset,
                            depth_min=depth_min, depth_max=depth_max,
                            ref_name=names[0], orig_w=orig_w, w=w,
@@ -147,7 +151,8 @@ def prepare_job(images: Sequence[np.ndarray],
                            depth_max, lite=True)
         try:
             scene, _ = build_rect_scene(images, rig, subset, params,
-                                        depth_min, depth_max, base=base)
+                                        depth_min, depth_max, base=base,
+                                        ledger=ledger)
         except RectifyUnsupported as e:
             print(f"[gipuma_tpu] rect path unavailable ({e}); "
                   "falling back to the exact cost path")
@@ -281,14 +286,23 @@ def run_batch(image_paths: Sequence[str], params: AlgorithmParams,
     # immediately (pyramid scene builds are background futures), so one
     # planner thread ahead of the runner suffices.
     from concurrent.futures import ThreadPoolExecutor
+
+    # Scan-level executable-shape ratchet (config.rect_quantize_shapes):
+    # one ledger across all reference views so they share compiled sets.
+    ledger = None
+    if params.cost_path == "rect" and getattr(params, "rect_quantize_shapes",
+                                              False):
+        from .models.rect_scene import ShapeBucketLedger
+        ledger = ShapeBucketLedger()
     with ThreadPoolExecutor(max_workers=1) as planner:
         nxt = (planner.submit(prepare_job, images, Ps, params, names,
-                              ref_index=todo[0]) if todo else None)
+                              ref_index=todo[0], ledger=ledger)
+               if todo else None)
         for i, ref in enumerate(todo):
             job = nxt.result()
             if i + 1 < len(todo):
                 nxt = planner.submit(prepare_job, images, Ps, params, names,
-                                     ref_index=todo[i + 1])
+                                     ref_index=todo[i + 1], ledger=ledger)
             res = run_prepared_job(job)
             out_dir = root / f"{Path(names[ref]).stem}"
             write_outputs(res, out_dir, params, ref_image=images[ref],

@@ -96,7 +96,27 @@ def texture_fn_noise(X: np.ndarray) -> np.ndarray:
     return np.clip(128.0 + 52.0 * v, 0.0, 255.0)
 
 
-TEXTURES = {"sos": texture_fn, "noise": texture_fn_noise}
+def texture_fn_noise_lc(X: np.ndarray) -> np.ndarray:
+    """Low-contrast variant of the noise texture (~5x lower modulation):
+    the hard-scene cull gate's low-texture-evidence family — sparse
+    screening has 5x less photometric signal to rank candidates with."""
+    v = (texture_fn_noise(X) - 128.0) / 52.0
+    return np.clip(128.0 + 10.0 * v, 0.0, 255.0)
+
+
+def texture_fn_noise_patch(X: np.ndarray) -> np.ndarray:
+    """Noise texture with a TEXTURELESS square patch (constant intensity)
+    around the scene center (depth-normalized world coords) — exercises
+    flat-region behavior: inside the patch every candidate costs the
+    same, so screening mispicks are maximally likely there."""
+    v = texture_fn_noise(X)
+    flat = (np.abs(X[..., 0]) < 0.55) & (np.abs(X[..., 1]) < 0.4)
+    return np.where(flat, 128.0, v)
+
+
+TEXTURES = {"sos": texture_fn, "noise": texture_fn_noise,
+            "noise_lc": texture_fn_noise_lc,
+            "noise_patch": texture_fn_noise_patch}
 
 
 def intersect_plane(P: np.ndarray, h: int, w: int,
@@ -161,7 +181,8 @@ def plane_scene(num_cams: int = 4, h: int = 64, w: int = 80,
 
 def two_plane_scene(num_cams: int = 5, h: int = 64, w: int = 80,
                     focal: float = 120.0, depth_near: float = 4.0,
-                    depth_far: float = 6.0, split: float = 0.45):
+                    depth_far: float = 6.0, split: float = 0.45,
+                    texture: str = "sos"):
     """A scene with a depth discontinuity: a near plane occupies the left
     `split` fraction of the reference view, a far plane the rest.  Exercises
     occlusion boundaries and propagation across discontinuities.
@@ -189,7 +210,7 @@ def two_plane_scene(num_cams: int = 5, h: int = 64, w: int = 80,
         use_near = near_valid & ((dn < df) | (df <= 0))
         X = np.where(use_near[..., None], Xn, Xf)
         depth = np.where(use_near, dn, df)
-        tex = texture_fn(X)
+        tex = TEXTURES[texture](X)
         # Distinguish the two surfaces slightly so the discontinuity has
         # image evidence.
         tex = np.where(use_near, tex * 0.85 + 20.0, tex)

@@ -29,10 +29,17 @@ def main() -> int:
     ap.add_argument("--two_stage_rows", action="store_true",
                     help="add rect_two_stage_cull rows for middlebury + "
                          "dtu_fast (the round-4 semantics change)")
+    ap.add_argument("--hard_scene_rows", action="store_true",
+                    help="add the hard-scene cull-gate section (round 5: "
+                         "occluding discontinuity, textureless patch, "
+                         "low contrast — eval/parity.run_cull_hard_scene)")
     ap.add_argument("--out", default=str(ROOT / "PARITY.md"))
     args = ap.parse_args()
 
-    from gipuma_tpu.eval.parity import format_markdown, run_preset_parity
+    from gipuma_tpu.eval.parity import (format_hard_scene_markdown,
+                                        format_markdown,
+                                        run_cull_hard_scene,
+                                        run_preset_parity)
 
     shape = {"small": (96, 128), "medium": (192, 256),
              "full": (480, 640)}[args.scale]
@@ -50,13 +57,29 @@ def main() -> int:
                 print(json.dumps(r))
 
     md = format_markdown(rows)
+    hard_md = ""
+    if args.hard_scene_rows:
+        hrows = []
+        for kind in ("two_plane", "textureless_patch", "low_contrast"):
+            hr = run_cull_hard_scene(kind)
+            hrows.append(hr)
+            print(json.dumps(hr))
+        hard_md = "\n" + format_hard_scene_markdown(hrows)
     out = Path(args.out)
     if out.exists():
-        # Preserve hand-written analysis sections ("## ..." onward).
+        # Preserve hand-written analysis sections ("## ..." onward),
+        # replacing a previously generated hard-scene section.
         old = out.read_text()
         k = old.find("\n## ")
         if k >= 0:
-            md = md + old[k:]
+            tail = old[k:]
+            hk = tail.find("## Two-stage-cull gate on hard scenes")
+            if hk >= 0 and hard_md:
+                nxt = tail.find("\n## ", hk)
+                tail = tail[:hk] + tail[nxt + 1:] if nxt >= 0 \
+                    else tail[:hk].rstrip() + "\n"
+            md = md + tail
+    md = md + hard_md
     out.write_text(md)
     print(f"wrote {out}")
     return 0

@@ -40,6 +40,12 @@ def main() -> int:
                          "level trims, coarse box 7) instead of the plain "
                          "dtu_fast flat schedule — VERDICT r3 item 1")
     ap.add_argument("--texture", choices=("noise", "sos"), default="noise")
+    ap.add_argument("--quantize", action="store_true",
+                    help="enable config.rect_quantize_shapes + one "
+                         "ShapeBucketLedger across the reference views: "
+                         "proof of executable-set sharing (round 5) — "
+                         "view 2+ must log compile_s ~ 0 where round 4 "
+                         "paid ~2000 s per view")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +72,11 @@ def main() -> int:
             pyramid_fine_far=False, pyramid_fine_refine_rounds=2,
             pyramid_carry_cost=True, pyramid_coarse_box=7,
             rect_two_stage_cull=True, cull_view_stride=2)
+    ledger = None
+    if args.quantize:
+        from gipuma_tpu.models.rect_scene import ShapeBucketLedger
+        params0 = params0.replace(rect_quantize_shapes=True)
+        ledger = ShapeBucketLedger()
 
     # 1) Selection sweep over ALL 64 reference choices (cheap, host-only).
     sel_sizes = []
@@ -94,7 +105,8 @@ def main() -> int:
             texture=args.texture)
 
         t0 = time.time()
-        prep = prepare_pyramid(images, Ps, names, subset, params, dmin, dmax)
+        prep = prepare_pyramid(images, Ps, names, subset, params, dmin,
+                               dmax, ledger=ledger)
         t_prep = time.time() - t0
         # Rect path must hold: every level scene is a RectScene.
         from gipuma_tpu.ops.rect_cost import RectScene
@@ -138,6 +150,7 @@ def main() -> int:
         "value": round(float(np.mean([r["mp_per_s"] for r in records])), 4),
         "unit": "MP/s",
         "schedule": "production-pyramid" if args.production else "dtu_fast",
+        "quantize": bool(args.quantize),
         "texture": args.texture,
         "scale": s,
         "median_rel_err": float(np.median([r["median_rel_err"]

@@ -43,6 +43,9 @@ def main() -> int:
         # gather bugs produce O(1..255) diffs, far above it.
         dev = np.asarray(dev)
         itp = np.asarray(itp)
+        if np.issubdtype(dev.dtype, np.integer):
+            dev = dev.astype(np.int64)
+            itp = itp.astype(np.int64)
         d = float(np.max(np.abs(dev - itp)))
         results[name] = {"max_abs_diff": d, "shape": list(dev.shape),
                          "tol": tol, "ok": bool(d <= tol)}
@@ -74,6 +77,17 @@ def main() -> int:
     record("row_gather_batch",
            row_gather_batch(packed, xb, max_span_blocks=2),
            row_gather_batch(packed, xb, interpret=True, max_span_blocks=2))
+    # int32 nearest pass-through (round 5: the f16-pair-packed plane words
+    # of config.rect_pack_m ride the forward permute as opaque int32) —
+    # must be BIT-exact: any dtype promotion in the kernel would corrupt
+    # the packed halves identically detectably here.
+    src_i32 = jnp.asarray(rng.integers(np.iinfo(np.int32).min,
+                                       np.iinfo(np.int32).max,
+                                       (2, H, W), dtype=np.int32))
+    record("row_gather_nearest_int32",
+           row_gather(src_i32, xj, max_span_blocks=2, nearest=True),
+           row_gather(src_i32, xj, interpret=True, max_span_blocks=2,
+                      nearest=True), tol=0)
 
     # --- row_gather_affine ----------------------------------------------
     K = 2

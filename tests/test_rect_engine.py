@@ -226,6 +226,57 @@ def test_permute_skip_is_exact():
         np.testing.assert_allclose(on, off, rtol=2e-6, atol=1e-5)
 
 
+def test_pack_m_cost_error_is_small():
+    """rect_pack_m (config.py): f16-packing the two smaller plane-vector
+    components for the forward permute must perturb per-view costs only at
+    the quantization-noise level (~5e-4 relative on m => ~0.01 px of
+    sample position), far below the photometric noise the cost tolerates.
+    Engine-level quality is covered by every rect engine test (the flag
+    defaults on)."""
+    import jax.numpy as jnp
+
+    from gipuma_tpu.ops.rect_cost import rect_per_view_costs_batch
+
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), h=96, w=128)
+    h, w = images[0].shape[:2]
+    w2 = w // 2
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(4.0, 7.0, (2, h, w2)), jnp.float32)
+    n = rng.normal(size=(2, h, w2, 3))
+    n[..., 2] = -np.abs(n[..., 2]) - 1.0
+    n = jnp.asarray(n / np.linalg.norm(n, axis=-1, keepdims=True),
+                    jnp.float32)
+
+    on = np.asarray(rect_per_view_costs_batch(
+        scene, params.replace(rect_pack_m=True), 0, n, d))
+    off = np.asarray(rect_per_view_costs_batch(
+        scene, params.replace(rect_pack_m=False), 0, n, d))
+    valid = (on < 1000.0) & (off < 1000.0)
+    diff = np.abs(on - off)[valid]
+    base = np.abs(off)[valid]
+    # Median relative perturbation well under a percent; no wild outliers
+    # beyond what a 0.01-px sample shift can do at a texture edge.
+    assert np.median(diff / np.maximum(base, 1e-3)) < 2e-3
+    assert np.quantile(diff, 0.99) < 0.3, np.quantile(diff, 0.99)
+
+
+def test_all_four_permute_pass_masks_skip():
+    """Every permutation pass is masked (round 5: fwd pass 1 and ret
+    pass 2 joined the round-3 fwd2/ret1 masks): each mask must actually
+    skip tiles on a ring rig, and ret2_ok's rectangle is the un-rotated
+    image extent inside the S x S square pad."""
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), h=96, w=128)
+    for name in ("fwd1_ok", "fwd2_ok", "ret1_ok", "ret2_ok"):
+        mask = getattr(scene, name)
+        assert mask is not None, name
+        assert float(mask.mean()) < 0.999, name
+        # Each view must keep at least one tile enabled.
+        assert (np.asarray(mask).reshape(mask.shape[0], -1).max(1)
+                > 0).all(), name
+
+
 def test_two_stage_cull_degenerate_equals_full():
     """rect_two_stage_cull with the cull window == the full window must
     return exactly the full path's winner cost (and MAXCOST for losers):
