@@ -52,6 +52,15 @@ def main() -> int:
                     help="A/B: config.cull_view_stride — screen candidates "
                          "on every Nth view only (ranking needs less view "
                          "support than the accepted cost)")
+    ap.add_argument("--cull_box", type=int, default=None,
+                    help="A/B: config.cull_box (sparse screening window "
+                         "size; default 9 -> 3x3 samples at increment 4)")
+    ap.add_argument("--cull_increment", type=int, default=None,
+                    help="A/B: config.cull_increment (sparse screening "
+                         "sample spacing)")
+    ap.add_argument("--fused_roll", action="store_true",
+                    help="A/B: config.fused_roll (unaligned scratch base, "
+                         "one fewer 128-lane take per gather)")
     ap.add_argument("--texture", choices=("noise", "sos"), default="noise",
                     help="gate-scene texture (utils/synthetic.TEXTURES). "
                          "Default: band-limited aperiodic noise — the "
@@ -122,6 +131,12 @@ def main() -> int:
         params = params.replace(rect_two_stage_cull=False)
     if args.cull_view_stride is not None:
         params = params.replace(cull_view_stride=args.cull_view_stride)
+    if args.cull_box is not None:
+        params = params.replace(cull_box=args.cull_box)
+    if args.cull_increment is not None:
+        params = params.replace(cull_increment=args.cull_increment)
+    if args.fused_roll:
+        params = params.replace(fused_roll=True)
     params = params.with_depth_range(depth_min, depth_max, rig.f,
                                      FAKE_BASELINE)
     subset = list(range(1, n_views))

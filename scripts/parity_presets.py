@@ -33,6 +33,9 @@ def main() -> int:
                     help="add the hard-scene cull-gate section (round 5: "
                          "occluding discontinuity, textureless patch, "
                          "low contrast — eval/parity.run_cull_hard_scene)")
+    ap.add_argument("--only_hard", action="store_true",
+                    help="update ONLY the hard-scene section, keeping the "
+                         "existing preset table untouched")
     ap.add_argument("--out", default=str(ROOT / "PARITY.md"))
     args = ap.parse_args()
 
@@ -45,18 +48,18 @@ def main() -> int:
              "full": (480, 640)}[args.scale]
     ap2 = args.two_stage_rows
     rows = []
-    for preset in args.presets:
-        for tex in args.textures:
-            r = run_preset_parity(preset, *shape, texture=tex)
-            rows.append(r)
-            print(json.dumps(r))
-            if ap2 and preset in ("middlebury", "dtu_fast"):
-                r = run_preset_parity(preset, *shape, texture=tex,
-                                      two_stage=True)
+    if not args.only_hard:
+        for preset in args.presets:
+            for tex in args.textures:
+                r = run_preset_parity(preset, *shape, texture=tex)
                 rows.append(r)
                 print(json.dumps(r))
+                if ap2 and preset in ("middlebury", "dtu_fast"):
+                    r = run_preset_parity(preset, *shape, texture=tex,
+                                          two_stage=True)
+                    rows.append(r)
+                    print(json.dumps(r))
 
-    md = format_markdown(rows)
     hard_md = ""
     if args.hard_scene_rows:
         hrows = []
@@ -65,22 +68,33 @@ def main() -> int:
             hrows.append(hr)
             print(json.dumps(hr))
         hard_md = "\n" + format_hard_scene_markdown(hrows)
+
     out = Path(args.out)
-    if out.exists():
-        # Preserve hand-written analysis sections ("## ..." onward),
-        # replacing a previously generated hard-scene section.
+    tail = ""
+    if args.only_hard:
+        # Keep the existing preset table + analysis; only the hard-scene
+        # section is (re)generated.
+        assert out.exists(), "--only_hard needs an existing PARITY.md"
         old = out.read_text()
         k = old.find("\n## ")
-        if k >= 0:
-            tail = old[k:]
-            hk = tail.find("## Two-stage-cull gate on hard scenes")
-            if hk >= 0 and hard_md:
-                nxt = tail.find("\n## ", hk)
-                tail = tail[:hk] + tail[nxt + 1:] if nxt >= 0 \
-                    else tail[:hk].rstrip() + "\n"
-            md = md + tail
-    md = md + hard_md
-    out.write_text(md)
+        md = old[:k] if k >= 0 else old
+        tail = old[k:] if k >= 0 else ""
+    else:
+        md = format_markdown(rows)
+        if out.exists():
+            # Preserve hand-written analysis sections ("## ..." onward).
+            old = out.read_text()
+            k = old.find("\n## ")
+            if k >= 0:
+                tail = old[k:]
+    if hard_md:
+        # Replace any previously generated hard-scene section in the tail.
+        hk = tail.find("## Two-stage-cull gate on hard scenes")
+        if hk >= 0:
+            nxt = tail.find("\n## ", hk)
+            tail = (tail[:hk] + tail[nxt + 1:]) if nxt >= 0 \
+                else tail[:hk].rstrip() + "\n"
+    out.write_text(md + tail + hard_md)
     print(f"wrote {out}")
     return 0
 
