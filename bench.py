@@ -58,6 +58,9 @@ def main() -> int:
     ap.add_argument("--cull_increment", type=int, default=None,
                     help="A/B: config.cull_increment (sparse screening "
                          "sample spacing)")
+    ap.add_argument("--no_cull_pack", action="store_true",
+                    help="A/B: disable config.cull_pack (f16 packing of "
+                         "the sparse cull pass's permuted planes/costs)")
     ap.add_argument("--fused_roll", action="store_true",
                     help="A/B: config.fused_roll (unaligned scratch base, "
                          "one fewer 128-lane take per gather)")
@@ -135,6 +138,8 @@ def main() -> int:
         params = params.replace(cull_box=args.cull_box)
     if args.cull_increment is not None:
         params = params.replace(cull_increment=args.cull_increment)
+    if args.no_cull_pack:
+        params = params.replace(cull_pack=False)
     if args.fused_roll:
         params = params.replace(fused_roll=True)
     params = params.with_depth_range(depth_min, depth_max, rig.f,

@@ -222,6 +222,22 @@ class AlgorithmParams:
     # and candidate RANKING needs less view support than the accepted
     # cost (which stage 2 still evaluates over all views).  1 = all views.
     cull_view_stride: int = 1
+    # Pack the sparse screening pass's permuted data at f16: plane words
+    # 2K -> ceil(3K/2) forward-permute channels (all-f16 triples) and the
+    # returned screening costs K -> ceil(K/2) (f16 pairs).  f16 carries
+    # ~5e-4 relative error — ranking-only noise (near-tie flips); the
+    # winner's accepted cost always comes from the f32 full pass.  The
+    # permutes were co-dominant with the kernels after round 4
+    # (ROADMAP.md) and the sparse pass carries most of their channels.
+    cull_pack: bool = True
+    # Evaluate the sparse screening pass on DOWNSCALED rect grids (2 =
+    # half resolution in both rect axes): build_rect_scene attaches a
+    # dedicated cull RectScene (strided views, cull_box/cull_increment
+    # window, no supersampling, routing exactness not enforced — ranking
+    # tolerates neighbor-cost reads) and the screening pass's permutes +
+    # kernel work drop ~2-4x.  The winner's accepted cost still comes
+    # from the exactly-routed full-resolution pass.  1 = off.
+    cull_downscale: int = 1
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

@@ -86,6 +86,27 @@ def _dummy_pair(t):
             np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32))
 
 
+def _gauss_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Gaussian anti-alias prefilter for downscaled cull builds ([H, W] or
+    [H, W, C] f32).  cv2 when available; separable numpy convolution
+    otherwise (same kernel radius 3*sigma)."""
+    if sigma <= 0:
+        return img
+    if _HAVE_CV2:
+        return cv2.GaussianBlur(img, (0, 0), sigmaX=sigma, sigmaY=sigma,
+                                borderType=cv2.BORDER_REPLICATE)
+    rad = max(1, int(np.ceil(3.0 * sigma)))
+    xs = np.arange(-rad, rad + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    pad = [(rad, rad), (0, 0)] + [(0, 0)] * (img.ndim - 2)
+    a = np.pad(img, pad, mode="edge")
+    a = sum(k[i] * a[i:i + img.shape[0]] for i in range(2 * rad + 1))
+    pad = [(0, 0), (rad, rad)] + [(0, 0)] * (img.ndim - 2)
+    a = np.pad(a, pad, mode="edge")
+    return sum(k[i] * a[:, i:i + img.shape[1]] for i in range(2 * rad + 1))
+
+
 def _gather_reach(hrad: int, params: AlgorithmParams) -> int:
     """Horizontal gather reach (px) of the fused window-cost kernel for a
     window of half-size `hrad`: the outermost sampled column, plus the
@@ -347,7 +368,9 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                      view_subset: Sequence[int], params: AlgorithmParams,
                      depth_min: float, depth_max: float,
                      base=None, max_blowup: float = 8.0,
-                     ledger: ShapeBucketLedger | None = None
+                     ledger: ShapeBucketLedger | None = None,
+                     rect_scale: float = 1.0,
+                     routing_strict: bool = True
                      ) -> tuple[RectScene, dict]:
     """Build the rect fast-path scene; returns (RectScene, build info).
 
@@ -357,7 +380,17 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
     ledger: optional scan-level shape ratchet (with
     config.rect_quantize_shapes) so every reference view of a scan shares
     one compiled executable set — see ShapeBucketLedger.
-    """
+    rect_scale < 1 builds DOWNSCALED rect grids (config.cull_downscale's
+    screening scene): the density normalization and the routing slope
+    targets scale together, so no supersampling fights the downscale.
+    routing_strict=False accepts whatever plane-routing exactness the
+    first build attempt yields (cull scenes: mispicks are ranking noise,
+    quality-gated end to end) instead of retrying/raising.
+
+    With config.rect_two_stage_cull + cull_downscale > 1 (and rect_scale
+    == 1), a nested cull RectScene is built over the cull_view_stride
+    view subset at rect_scale = 1/cull_downscale with the cull window
+    geometry, and attached as `scene.cull`."""
     if base is None:
         base = build_scene(images, rig, view_subset, params,
                            depth_min, depth_max, lite=True)
@@ -383,7 +416,8 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             area = 0.5 * abs(sum(
                 q[i, 0] * q[(i + 1) % 4, 1] - q[(i + 1) % 4, 0] * q[i, 1]
                 for i in range(4)))
-            s = float(np.clip(np.sqrt(h * w / max(area, 1.0)), 0.25, 4.0))
+            s = float(np.clip(np.sqrt(h * w / max(area, 1.0)),
+                              0.25, 4.0)) * rect_scale
             K_base = np.diag([s, s, 1.0]) @ rect.K_new
             rect = rectify_pair(ref_cam.K, cam.K, cam.R, cam.t, K_new=K_base)
         except ValueError as e:
@@ -416,7 +450,11 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
         # corners would otherwise blow the supersampling factor for the
         # whole window; the few corner pixels whose slopes stay < 1 are
         # counted against the routing-exactness budget below instead.
-        slope_req = float(getattr(params, "rect_slope_req", 1.05))
+        # Downscaled builds scale the slope targets with the resolution:
+        # enforcing slopes >= 1 at rect_scale 0.5 would supersample right
+        # back to full resolution.
+        slope_req = float(getattr(params, "rect_slope_req", 1.05)) * \
+            rect_scale
         routing_budget = float(getattr(params, "rect_routing_budget", 0.005))
         scale_cap = 2.5
         du, dv, dyr = _map_slopes(rect.T_ref, k_rot, h, w)
@@ -603,7 +641,7 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
             n_bad_fwd = int(fwd.affected[tgt].sum())
 
             bad_frac = (n_dup + n_bad_ret + n_bad_fwd) / max(n_valid, 1)
-            if bad_frac <= routing_budget:
+            if bad_frac <= routing_budget or not routing_strict:
                 built = (rect, lo, hr, wr, in_ref, orig_ok, fwd, ret,
                          tgt, bad_frac, (qy, qx, R_f, C_f))
                 break
@@ -778,8 +816,9 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                  int(params.rect_pad_views_to) or int(params.max_views))
         if ledger is not None:
             fl = ledger.apply(
-                (h, w), dict(hrp=hrp, wrp=wrp, max_range=max_range,
-                             span_perm=span_perm, views=vt))
+                (h, w, round(rect_scale, 4)),
+                dict(hrp=hrp, wrp=wrp, max_range=max_range,
+                     span_perm=span_perm, views=vt))
             hrp, wrp, vt = fl["hrp"], fl["wrp"], fl["views"]
             max_range, span_perm = fl["max_range"], fl["span_perm"]
         if vt > len(per_pair):
@@ -919,4 +958,43 @@ def build_rect_scene(images: Sequence[np.ndarray], rig: Rig,
                       fwd1_ok=fwd1_ok, ret2_ok=ret2_ok)
     info["rect_shape_padded"] = (hrp, wrp)
     info["spans"] = (span_sample, span_perm)
+
+    # Nested screening scene (config.cull_downscale): downscaled rect
+    # grids over the strided view subset, built with the cull window
+    # geometry so its gradient channels / gather spans / masks match the
+    # sparse pass exactly.  Build failures fall back to the full-res
+    # strided-view sparse path (ops/rect_cost._slice_views).
+    cds = int(getattr(params, "cull_downscale", 1))
+    if (rect_scale == 1.0 and cds > 1
+            and getattr(params, "rect_two_stage_cull", False)
+            and params.pack_taps and params.window_grads):
+        stride = max(1, int(getattr(params, "cull_view_stride", 1)))
+        sub_c = list(view_subset)[::stride]
+        vt_main = max(len(view_subset),
+                      int(getattr(params, "rect_pad_views_to", 0))
+                      or int(params.max_views))
+        cull_box = int(getattr(params, "cull_box", 9))
+        params_c = params.replace(
+            box_hsize=cull_box, box_vsize=cull_box,
+            window_increment=int(getattr(params, "cull_increment", 4)),
+            rect_two_stage_cull=False, cull_downscale=1,
+            rect_pad_views_to=-(-vt_main // stride))
+        # Anti-alias prefilter: the downscaled rect warp decimates the
+        # images ~cds-fold — point sampling would alias (the screening
+        # cost then disagrees with the full pass near Nyquist, which is
+        # exactly where the gate textures live).  sigma = 0.5*sqrt(cds^2
+        # - 1), the standard pyramid prefilter.  State grid unchanged —
+        # only the warped rect channels see the blur.
+        sigma = 0.5 * float(np.sqrt(cds * cds - 1.0))
+        images_c = [_gauss_blur(np.asarray(im, np.float32), sigma)
+                    for im in images]
+        try:
+            cull_scene, cull_info = build_rect_scene(
+                images_c, rig, sub_c, params_c, depth_min, depth_max,
+                base=None, max_blowup=max_blowup, ledger=ledger,
+                rect_scale=1.0 / cds, routing_strict=False)
+            scene = scene._replace(cull=cull_scene)
+            info["cull"] = cull_info
+        except RectifyUnsupported as e:
+            info["cull"] = {"error": str(e)}
     return scene, info

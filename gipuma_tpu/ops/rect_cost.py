@@ -536,6 +536,14 @@ class RectScene(NamedTuple):
     # un-rotated [hk, wk] consumed rectangle — ~25% of that pass at 4:3).
     fwd1_ok: jnp.ndarray = None
     ret2_ok: jnp.ndarray = None
+    # Optional nested screening scene (config.cull_downscale, round 5):
+    # downscaled rect grids over the cull_view_stride view subset, built
+    # by models/rect_scene.build_rect_scene with the cull window
+    # geometry.  rect_multiview_cost_batch's sparse pass uses it when
+    # present; None falls back to _slice_views on this scene.  Sharded
+    # paths strip it (parallel/sharded.py) — its strided view axis does
+    # not match the view mesh.
+    cull: "RectScene" = None
 
     # --- engine-facing delegation (models/patchmatch.py reads these) ---
     @property
@@ -664,6 +672,55 @@ def _unpack_m(mp: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([m0, m1, m2], axis=1)
 
 
+def _pack_f16_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack consecutive leading-axis channels as f16 pairs: [N, ...] f32 ->
+    [ceil(N/2), ...] int32 with element 2j in the high half-word and 2j+1
+    in the low (odd N zero-padded).  The nearest row gather passes int32
+    words through bit-exactly, so this halves a permutation's channel
+    count at f16 (~5e-4 relative) precision — used by the two-stage
+    cull's SPARSE pass only, whose output is a per-pixel candidate
+    RANKING (config.cull_pack); the accepted cost is always re-evaluated
+    by the full pass at f32."""
+    if x.shape[0] % 2:
+        x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+    hi = jax.lax.bitcast_convert_type(
+        x[0::2].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        x[1::2].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        jnp.left_shift(hi, 16) | lo, jnp.int32)
+
+
+def _unpack_f16_pairs(w: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse of _pack_f16_pairs: [ceil(n/2), ...] int32 -> [n, ...] f32."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.right_shift(u, 16).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        u.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    return jnp.stack([hi, lo], axis=1).reshape(-1, *w.shape[1:])[:n]
+
+
+def _pack_m_tri(m_chw: jnp.ndarray) -> jnp.ndarray:
+    """All-f16 plane packing across candidates: [K, 3, H, W] f32 ->
+    [ceil(3K/2), H, W] int32 (f16 pairs of the flattened K*3 channel
+    sequence).  vs _pack_m's (f16, f16 | f32) layout this carries m2 at
+    f16 too — ~5e-4 relative, ~0.015 px on typical disparity fields,
+    under the 1/32 px warp quantization — and cuts the forward permute
+    from 2K to ceil(3K/2) channels.  Sparse-cull-pass only
+    (config.cull_pack)."""
+    K = m_chw.shape[0]
+    return _pack_f16_pairs(m_chw.reshape(K * 3, *m_chw.shape[2:]))
+
+
+def _unpack_m_tri(mp: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of _pack_m_tri: [ceil(3k/2), Hr, Wr] int32 ->
+    [k, 3, Hr, Wr] f32."""
+    flat = _unpack_f16_pairs(mp, 3 * k)
+    return flat.reshape(k, 3, *mp.shape[1:])
+
+
 def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
                         parity: int, n: jnp.ndarray, d: jnp.ndarray
                         ) -> jnp.ndarray:
@@ -678,37 +735,48 @@ def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
 
 
 def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
-                              parity: int, n: jnp.ndarray, d: jnp.ndarray
-                              ) -> jnp.ndarray:
+                              parity: int, n: jnp.ndarray, d: jnp.ndarray,
+                              m_pack: str | None = None,
+                              cost_pack: bool = False) -> jnp.ndarray:
     """Per-view costs for K candidates at once: n [K, H, W2, 3],
     d [K, H, W2] -> [V, K, H, W2].
 
     One permute / gather-kernel launch serves all candidates (channel and
     batch stacking) — candidate-by-candidate evaluation pays the kernel
-    launch latency ~K times over (dominant on the remote TPU runtime)."""
+    launch latency ~K times over (dominant on the remote TPU runtime).
+
+    m_pack: forward-permute plane packing — None derives "pair"
+    (config.rect_pack_m) or "none"; "tri" = all-f16 candidate-pair
+    packing (_pack_m_tri, sparse cull pass).  cost_pack: pack the
+    returned per-view costs as f16 pairs for the return permute
+    (ranking-precision only — sparse cull pass)."""
     interpret = jax.default_backend() == "cpu"
     K = n.shape[0]
+    if m_pack is None:
+        m_pack = "pair" if getattr(params, "rect_pack_m", True) else "none"
     m = n / d[..., None]                                   # [K, H, W2, 3]
     m_full = jnp.repeat(m, 2, axis=2)                      # [K, H, W, 3]
     m_chw = jnp.moveaxis(m_full, -1, 1)                    # [K, 3, H, W]
-    pack_m = bool(getattr(params, "rect_pack_m", True))
-    if pack_m:
-        m_chw = _pack_m(m_chw)                             # [K, 2, H, W]
-    MC = m_chw.shape[1]
+    if m_pack == "pair":
+        m_ch = _pack_m(m_chw).reshape(2 * K, *m_chw.shape[2:])
+    elif m_pack == "tri":
+        m_ch = _pack_m_tri(m_chw)                          # [~3K/2, H, W]
+    else:
+        m_ch = m_chw.reshape(3 * K, *m_chw.shape[2:])
+    CH = m_ch.shape[0]
     h, w = m_full.shape[1:3]
     s = scene.fwd_c1.shape[-2]
     span_sample = scene.spans.shape[-2]
     span_perm = scene.spans.shape[-1]
 
     def rot_pad(k):
-        rk = jnp.rot90(m_chw, k=k, axes=(-2, -1))
-        return jnp.pad(rk, ((0, 0), (0, 0), (0, s - rk.shape[-2]),
+        rk = jnp.rot90(m_ch, k=k, axes=(-2, -1))
+        return jnp.pad(rk, ((0, 0), (0, s - rk.shape[-2]),
                             (0, s - rk.shape[-1])))
-    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, K, MC, S, S]
-    m_rots = m_rots.reshape(4, K * MC, s, s)
+    m_rots = jnp.stack([rot_pad(k) for k in range(4)])     # [4, CH, S, S]
 
     def unrot_branch(k):
-        def f(c_sq):                                       # [K, S, S]
+        def f(c_sq):                                       # [Kc, S, S]
             hk, wk = (w, h) if k % 2 else (h, w)
             return jnp.rot90(c_sq[:, :hk, :wk], k=(-k) % 4, axes=(1, 2))
         return f
@@ -755,10 +823,13 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
                            max_span_blocks=span_perm,
                            mask1=f1v if pskip2 else None,
-                           mask2=f2v if pskip else None)   # [K*MC, Hrp, Wrp]
-        m_rect = m_rect.reshape(K, MC, *m_rect.shape[1:])
-        if pack_m:
-            m_rect = _unpack_m(m_rect)                     # [K, 3, Hrp, Wrp]
+                           mask2=f2v if pskip else None)   # [CH, Hrp, Wrp]
+        if m_pack == "pair":
+            m_rect = _unpack_m(m_rect.reshape(K, 2, *m_rect.shape[1:]))
+        elif m_pack == "tri":
+            m_rect = _unpack_m_tri(m_rect, K)              # [K, 3, Hrp, Wrp]
+        else:
+            m_rect = m_rect.reshape(K, 3, *m_rect.shape[1:])
         abc = jnp.einsum("ij,kjhw->kihw", Lv, m_rect)      # [K, 3, Hrp, Wrp]
         # NOTE: on the window_grads default this dispatches into the fused
         # window-cost kernel (ops/pallas_sdg_fused.py).  An earlier
@@ -771,13 +842,17 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                                          disp_lo=dbv[0], disp_hi=dbv[1],
                                          span_blocks=span_sample,
                                          hw_valid=hwv, tile_ok=tmv)
+        if cost_pack:
+            cost_rect = _pack_f16_pairs(cost_rect)         # [~K/2] int32
         cost_sq = permute2d(cost_rect, rc1, rr, interpret=interpret,
                             max_span_blocks=span_perm,
                             mask1=r1v if pskip else None,
-                            mask2=r2v if pskip2 else None)  # [K, S, S]
+                            mask2=r2v if pskip2 else None)  # [Kc, S, S]
         cost_full = jax.lax.switch(kv, unrot_branches, cost_sq)
         cost_act = jnp.where(rp == 0, cost_full[:, :, 0::2],
-                             cost_full[:, :, 1::2])        # [K, H, W2]
+                             cost_full[:, :, 1::2])        # [Kc, H, W2]
+        if cost_pack:
+            cost_act = _unpack_f16_pairs(cost_act, K)      # [K, H, W2] f32
         cost_act = jnp.where(jnp.isnan(cost_act) | (cost_act >= MAXCOST)
                              | (validv == 0.0), MAXCOST, cost_act)
         return None, cost_act
@@ -824,9 +899,24 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
             box_hsize=cull, box_vsize=cull,
             window_increment=int(getattr(params, "cull_increment", 4)))
         stride = max(1, int(getattr(params, "cull_view_stride", 1)))
-        sc_s = scene if stride == 1 else _slice_views(scene, stride)
+        cull_scene = getattr(scene, "cull", None)
+        if cull_scene is not None:
+            # Dedicated downscaled screening scene (config.cull_downscale)
+            # — already view-strided and built with the cull window
+            # geometry, so sp's box/increment match its gradient channels
+            # and gather spans.
+            sc_s = cull_scene
+        else:
+            sc_s = scene if stride == 1 else _slice_views(scene, stride)
+        # cull_pack: the screening pass's permutes at f16 — forward plane
+        # words 2K -> ceil(3K/2) channels (_pack_m_tri), returned costs
+        # K -> ceil(K/2) (_pack_f16_pairs).  Ranking-only precision; the
+        # winner's accepted cost comes from the f32 full pass below.
+        cpk = bool(getattr(params, "cull_pack", True))
         c_s = combine_view_costs(
-            rect_per_view_costs_batch(sc_s, sp, parity, n, d), sp,
+            rect_per_view_costs_batch(sc_s, sp, parity, n, d,
+                                      m_pack="tri" if cpk else None,
+                                      cost_pack=cpk), sp,
             view_valid=sc_s.view_valid)                     # [K, H, W2]
         # Exclude depth-range-invalid candidates from the ranking so a
         # soon-to-be-rejected winner cannot shadow a valid runner-up

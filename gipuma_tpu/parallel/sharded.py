@@ -156,7 +156,10 @@ def run_patchmatch_view_sharded(scene, params: AlgorithmParams,
     Accepts a ScenePack (exact cost path) or RectScene (fast path)."""
     nview = mesh.shape["view"]
     if isinstance(scene, RectScene):
-        scene = pad_rect_scene_views(scene, nview)
+        # The nested screening scene's strided view axis does not match
+        # the view mesh; the sharded sparse path (if culling were on)
+        # falls back to _slice_views semantics without it.
+        scene = pad_rect_scene_views(scene._replace(cull=None), nview)
     else:
         scene = pad_scene_views(scene, nview)
     rect = isinstance(scene, RectScene)

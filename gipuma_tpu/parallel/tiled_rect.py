@@ -200,8 +200,12 @@ def prepare_tiled_rect(images: Sequence[np.ndarray], rig: Rig,
         idx = np.clip(np.arange(r0, (b + 1) * h_loc + margin), 0, h_pad - 1)
         band_imgs = [ref[idx]] + imgs[1:]
         band_base = _slice_pack_rows(full_base, idx, r0)
+        # cull_downscale=1: the band stacking + tile×view specs don't
+        # carry the nested screening scene; the sparse pass falls back to
+        # _slice_views, so skip building per-band cull scenes entirely.
         scene_b, info_b = build_rect_scene(
-            band_imgs, _crop_ref_rig(rig, r0), list(view_subset), params,
+            band_imgs, _crop_ref_rig(rig, r0), list(view_subset),
+            params.replace(cull_downscale=1),
             depth_min, depth_max, base=band_base)
         bands.append(scene_b)
         infos.append(info_b)

@@ -40,7 +40,8 @@ def main():
         pyramid_fine_iterations=1, pyramid_fine_far=False,
         pyramid_fine_refine_rounds=2, pyramid_carry_cost=True,
         pyramid_coarse_box=7,
-        rect_two_stage_cull="--two_stage" in sys.argv)
+        rect_two_stage_cull="--two_stage" in sys.argv,
+        cull_view_stride=2 if "--two_stage" in sys.argv else 1)
     params = params.with_depth_range(3.0, 8.0, rig.f, FAKE_BASELINE)
     prep = prepare_pyramid(images, Ps, names, list(range(1, n_views)),
                            params, 3.0, 8.0)

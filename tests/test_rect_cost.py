@@ -138,3 +138,24 @@ def test_window_grads_equals_channel_path_on_linear_images():
     assert float(diff.max()) < 1e-3, float(diff.max())
     # And the costs are non-trivial (linear images still mismatch).
     assert float(np.abs(c_plain[m]).max()) > 0.1
+
+
+def test_cull_pack_roundtrips():
+    """config.cull_pack's f16 packers (sparse cull pass): plane triples
+    and cost pairs survive pack -> nearest-permute-passthrough -> unpack
+    within f16 precision (~5e-4 relative)."""
+    from gipuma_tpu.ops.rect_cost import (_pack_f16_pairs, _pack_m_tri,
+                                          _unpack_f16_pairs, _unpack_m_tri)
+    rng = np.random.default_rng(7)
+    for k in (1, 2, 4, 5):
+        m = (rng.normal(size=(k, 3, 16, 24)).astype(np.float32) * 0.3)
+        r = np.asarray(_unpack_m_tri(_pack_m_tri(jnp.asarray(m)), k))
+        assert np.abs(r - m).max() <= 5e-4 * np.abs(m).max() + 1e-6
+        c = rng.uniform(0.0, 3.0, size=(k, 16, 24)).astype(np.float32)
+        rc = np.asarray(_unpack_f16_pairs(_pack_f16_pairs(jnp.asarray(c)), k))
+        assert np.abs(rc - c).max() <= 5e-4 * np.abs(c).max() + 1e-6
+    # Specials pass through the cost packer: NaN stays NaN, big stays big
+    # (the engine masks >= MAXCOST after unpack).
+    c = np.array([[[np.nan, 1.0]], [[70000.0, 2.0]]], np.float32)
+    rc = np.asarray(_unpack_f16_pairs(_pack_f16_pairs(jnp.asarray(c)), 2))
+    assert np.isnan(rc[0, 0, 0]) and rc[1, 0, 0] >= 1000.0
