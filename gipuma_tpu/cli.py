@@ -103,6 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="occlusion mask image (png/pgm, nonzero = occluded)")
     p.add_argument("-gt_normal", default=None,
                    help="ground-truth normal map (3-channel dmb)")
+    p.add_argument("--gtDepth_divisionFactor", "--gt_div_factor",
+                   dest="gt_div_factor", type=float, default=1.0,
+                   help="GT image values are disparity*divFactor "
+                        "(main.h:34-35, groundTruthUtils.h:38 — "
+                        "Middlebury small images 4, big 3, KITTI 255); "
+                        "values are divided by this at load.  Raw 0/-1 "
+                        "(no-GT markers) stay invalid after division "
+                        "(eval.metrics treats gt <= 0 as no data).")
     return p
 
 
@@ -201,10 +209,16 @@ def main(argv=None) -> int:
             # dmb/pfm by extension; ANY other image via the raw decoder —
             # the reference's imread(-1) fallback (main.cpp:770-772).
             if path.endswith(".dmb"):
-                return np.asarray(read_dmb(path))
-            if path.endswith(".pfm"):
-                return np.asarray(read_pfm(path))
-            return load_image_raw(path)
+                raw = np.asarray(read_dmb(path))
+            elif path.endswith(".pfm"):
+                raw = np.asarray(read_pfm(path))
+            else:
+                raw = load_image_raw(path)
+            # Middlebury/KITTI divFactor (groundTruthUtils.h:38): stored
+            # value = disparity * divFactor.  0/-1 no-GT markers map to
+            # <= 0 and stay invalid in eval.metrics.depth_error.
+            df = float(getattr(args, "gt_div_factor", 1.0))
+            return raw if df == 1.0 else raw.astype(np.float64) / df
 
         def _read_normal_map(path):
             if path.endswith(".dmb"):

@@ -146,7 +146,14 @@ def prepare_pyramid(images: Sequence[np.ndarray],
         rig_l = build_rig(P_matrices, names,
                           cam_scale=params.cam_scale * (2 ** lvl))
         if lvl == levels - 1:
-            params_l = params.replace(iterations=params.iterations)
+            # Coarsest level starts from RANDOM planes: the downscaled
+            # screening scene ranks 2x2 blocks on one representative
+            # pixel's candidates, which is only a valid proxy once the
+            # plane field is smooth — warm-started levels only
+            # (measured: flat-from-random with cull_downscale=2 degrades
+            # median ~4x; warm-gated it holds the 5e-3 class).
+            params_l = params.replace(iterations=params.iterations,
+                                      cull_downscale=1)
         else:
             # Warm-started fine level: apply the (quality-gated) schedule
             # trims — see config.pyramid_fine_*.

@@ -124,3 +124,40 @@ def test_cli_batch_gt_eval(tmp_path):
         txt = (vdir / "results.txt").read_text()
         assert "error_rate_tol0.5" in txt
         assert "mean_abs_error" in txt
+
+
+def test_cli_gt_division_factor(tmp_path):
+    """--gtDepth_divisionFactor (main.h:34-35, groundTruthUtils.h:38):
+    GT images storing disparity*divFactor are divided at load, and the
+    raw 0 no-GT marker stays invalid.  A GT file scaled by 4 with the
+    flag must reproduce the unscaled error rate; without the flag the
+    rate is (catastrophically) different."""
+    from gipuma_tpu.io.pfm import write_pfm
+    from gipuma_tpu.utils.synthetic import intersect_plane
+
+    Ps = make_ring_P(4, 48, 64, 90.0, target_depth=5.0)
+    names, pdir = _write_scene(tmp_path)
+    _, dep = intersect_plane(Ps[0], 48, 64, *plane_scene(
+        num_cams=1, h=48, w=64, focal=90.0, plane_depth=5.0)[3])
+    dep = dep.astype(np.float32)
+    dep[:4] = 0.0                       # no-GT marker rows
+    write_pfm(tmp_path / "gt_x4.pfm", dep * 4.0)
+    write_pfm(tmp_path / "gt_x1.pfm", dep)
+
+    def run(extra, out):
+        rc = main(_flags(tmp_path, pdir, out) + names + extra)
+        assert rc == 0
+        run_dir = next(out.iterdir())
+        txt = (run_dir / "cam000" / "results.txt").read_text()
+        line = [l for l in txt.splitlines()
+                if l.startswith("error_rate_tol")][0]
+        return float(line.split()[-1])
+
+    r_plain = run(["-gt", str(tmp_path / "gt_x1.pfm"), "--gt_tol", "0.5"],
+                  tmp_path / "o1")
+    r_div = run(["-gt", str(tmp_path / "gt_x4.pfm"), "--gt_tol", "0.5",
+                 "--gtDepth_divisionFactor", "4"], tmp_path / "o2")
+    r_wrong = run(["-gt", str(tmp_path / "gt_x4.pfm"), "--gt_tol", "0.5"],
+                  tmp_path / "o3")
+    assert abs(r_div - r_plain) < 1e-9
+    assert r_wrong > r_plain + 0.5
