@@ -61,6 +61,15 @@ def main() -> int:
     ap.add_argument("--no_cull_pack", action="store_true",
                     help="A/B: disable config.cull_pack (f16 packing of "
                          "the sparse cull pass's permuted planes/costs)")
+    ap.add_argument("--early_term", action="store_true",
+                    help="A/B: config.cull_early_term (skip the full-"
+                         "window pass where no candidate beats the "
+                         "current plane in the sparse operator)")
+    ap.add_argument("--early_slack", type=float, default=None,
+                    help="A/B: config.cull_early_slack")
+    ap.add_argument("--cull_downscale", type=int, default=None,
+                    help="A/B: config.cull_downscale (half-res screening "
+                         "scene on warm-started pyramid levels)")
     ap.add_argument("--fused_roll", action="store_true",
                     help="A/B: config.fused_roll (unaligned scratch base, "
                          "one fewer 128-lane take per gather)")
@@ -140,6 +149,12 @@ def main() -> int:
         params = params.replace(cull_increment=args.cull_increment)
     if args.no_cull_pack:
         params = params.replace(cull_pack=False)
+    if args.early_term:
+        params = params.replace(cull_early_term=True)
+    if args.early_slack is not None:
+        params = params.replace(cull_early_slack=args.early_slack)
+    if args.cull_downscale is not None:
+        params = params.replace(cull_downscale=args.cull_downscale)
     if args.fused_roll:
         params = params.replace(fused_roll=True)
     params = params.with_depth_range(depth_min, depth_max, rig.f,

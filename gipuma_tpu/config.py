@@ -238,6 +238,16 @@ class AlgorithmParams:
     # kernel work drop ~2-4x.  The winner's accepted cost still comes
     # from the exactly-routed full-resolution pass.  1 = off.
     cull_downscale: int = 1
+    # Early termination via the screen (two-stage cull only): the current
+    # plane joins the sparse pass as one extra candidate, and pixels
+    # whose best candidate does not beat it (same sparse operator, plus
+    # the slack below) skip the full-window pass entirely — the skip is
+    # a DYNAMIC fused-kernel tile mask, so converged regions cost ~zero
+    # full-pass work.  A mispredicted skip loses one acceptance (the
+    # candidate stays available next iteration) — the sparse ranking's
+    # documented noise class, gated at 5e-3 end to end.
+    cull_early_term: bool = False
+    cull_early_slack: float = 0.05
     # Rect-table slope target: the (rotated-)reference -> rect map must
     # keep slopes >= this in both table directions (at the 2% quantile)
     # for the nearest-neighbor 2-pass routing to be contention-free; the

@@ -133,8 +133,11 @@ def _fold_better(scene, params, parity, x, y,
         # exclude engine-invalid candidates (border propagation sources)
         # from its argmin — a mispicked invalid winner would mask every
         # valid runner-up to MAXCOST and lose the stage's acceptance.
+        # cur: the current plane, so the two-stage cull's early
+        # termination can skip full evaluation where no candidate beats
+        # it in the sparse operator (config.cull_early_term).
         ck_all = batch(scene, params, parity, cand_n, cand_d,
-                       cand_ok=cand_ok)
+                       cand_ok=cand_ok, cur=(n_now, d_now))
     else:
         ck_all = jax.lax.map(
             lambda nd: cost_fn(scene, params, parity, nd[0], nd[1]),
@@ -308,7 +311,8 @@ def refinement_sweep(state: PMState, scene: ScenePack, params: AlgorithmParams,
         d_new = T.plane_d_at_pixel(scene.M_inv, scene.P_col4, n_new, x, y,
                                    depth_new)
 
-        ck_all = batch(scene, params, parity, n_new, d_new)   # [R, H, W2]
+        ck_all = batch(scene, params, parity, n_new, d_new,
+                       cur=(n_now, d_now))                    # [R, H, W2]
         for k in range(R):
             accept = ck_all[k] < c_now
             if params.no_texture_check:

@@ -737,7 +737,9 @@ def rect_per_view_costs(scene: RectScene, params: AlgorithmParams,
 def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                               parity: int, n: jnp.ndarray, d: jnp.ndarray,
                               m_pack: str | None = None,
-                              cost_pack: bool = False) -> jnp.ndarray:
+                              cost_pack: bool = False,
+                              extra_mask: jnp.ndarray | None = None
+                              ) -> jnp.ndarray:
     """Per-view costs for K candidates at once: n [K, H, W2, 3],
     d [K, H, W2] -> [V, K, H, W2].
 
@@ -749,7 +751,15 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     (config.rect_pack_m) or "none"; "tri" = all-f16 candidate-pair
     packing (_pack_m_tri, sparse cull pass).  cost_pack: pack the
     returned per-view costs as f16 pairs for the return permute
-    (ranking-precision only — sparse cull pass)."""
+    (ranking-precision only — sparse cull pass).
+
+    extra_mask ([H, W2] bool, config.cull_early_term): pixels that do NOT
+    need evaluation — the flag rides the forward permute as one extra
+    channel, rect tiles holding no flagged read-back target skip the
+    fused kernel DYNAMICALLY (same pl.when mechanism as the static
+    footprint mask), and masked-off pixels report MAXCOST.  Routing-
+    contended flag slots (<= the build's 0.5%% routing budget) can only
+    mis-skip a pixel, never corrupt an evaluated one."""
     interpret = jax.default_backend() == "cpu"
     K = n.shape[0]
     if m_pack is None:
@@ -764,6 +774,9 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
     else:
         m_ch = m_chw.reshape(3 * K, *m_chw.shape[2:])
     CH = m_ch.shape[0]
+    if extra_mask is not None:
+        em = jnp.repeat(extra_mask.astype(m_ch.dtype), 2, axis=1)  # [H, W]
+        m_ch = jnp.concatenate([m_ch, em[None]], axis=0)
     h, w = m_full.shape[1:3]
     s = scene.fwd_c1.shape[-2]
     span_sample = scene.spans.shape[-2]
@@ -823,7 +836,19 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
         m_rect = permute2d(m_sel, fc1, fr, interpret=interpret,
                            max_span_blocks=span_perm,
                            mask1=f1v if pskip2 else None,
-                           mask2=f2v if pskip else None)   # [CH, Hrp, Wrp]
+                           mask2=f2v if pskip else None)   # [CH(+1), Hrp, Wrp]
+        if extra_mask is not None:
+            # Dynamic kernel-tile mask: a tile runs iff any of its slots
+            # carries a flagged pixel (conservative — smooth-fill slots
+            # can only over-enable).  AND'd with the static footprint
+            # mask; the kernel input mask is a traced array, so this
+            # costs no recompile.
+            flag = m_rect[CH]
+            fr8 = flag.reshape(m_rect.shape[1] // 8, 8,
+                               m_rect.shape[2] // 128, 128)
+            dyn = (jnp.max(fr8, axis=(1, 3)) > 0).astype(jnp.int32)
+            tmv = tmv * dyn
+            m_rect = m_rect[:CH]
         if m_pack == "pair":
             m_rect = _unpack_m(m_rect.reshape(K, 2, *m_rect.shape[1:]))
         elif m_pack == "tri":
@@ -853,6 +878,12 @@ def rect_per_view_costs_batch(scene: RectScene, params: AlgorithmParams,
                              cost_full[:, :, 1::2])        # [Kc, H, W2]
         if cost_pack:
             cost_act = _unpack_f16_pairs(cost_act, K)      # [K, H, W2] f32
+        if extra_mask is not None:
+            # Skipped kernel tiles hold stale VMEM; anything read back
+            # from them is masked here (flagged pixels always land on
+            # evaluated tiles — exact routing of the flag channel).
+            cost_act = jnp.where(extra_mask[None], cost_act,
+                                 jnp.float32(MAXCOST))
         cost_act = jnp.where(jnp.isnan(cost_act) | (cost_act >= MAXCOST)
                              | (validv == 0.0), MAXCOST, cost_act)
         return None, cost_act
@@ -877,8 +908,8 @@ def rect_multiview_cost(scene: RectScene, params: AlgorithmParams,
 
 def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
                               parity: int, n: jnp.ndarray, d: jnp.ndarray,
-                              cand_ok: jnp.ndarray | None = None
-                              ) -> jnp.ndarray:
+                              cand_ok: jnp.ndarray | None = None,
+                              cur: tuple | None = None) -> jnp.ndarray:
     """Combined multiview cost for K stacked candidates: [K, H, W2].
 
     With config.rect_two_stage_cull (and K > 1): two-stage evaluation —
@@ -890,6 +921,16 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
     the per-candidate SAMPLE COUNT lever the SoL analysis calls the only
     single-chip one left (ROADMAP.md).  Deviation from the reference's
     all-candidates-full loop (gipuma.cu:832-874) documented in config.py.
+
+    cur (config.cull_early_term): the engine's CURRENT plane (n_now,
+    d_now).  It joins the sparse pass as candidate K+1; pixels whose best
+    sparse candidate does not beat the current plane's sparse cost (plus
+    cull_early_slack — a same-operator comparison, so no cross-operator
+    bias) skip the full-window pass entirely via the dynamic tile mask.
+    On a converged field most pixels reject every candidate, so the full
+    pass collapses to the still-improving regions.  Mispredictions lose
+    an acceptance (the candidate stays available next iteration) — same
+    noise class as the sparse ranking itself, gated at 5e-3.
     """
     K = n.shape[0]
     if (K > 1 and getattr(params, "rect_two_stage_cull", False)
@@ -913,11 +954,18 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
         # K -> ceil(K/2) (_pack_f16_pairs).  Ranking-only precision; the
         # winner's accepted cost comes from the f32 full pass below.
         cpk = bool(getattr(params, "cull_pack", True))
-        c_s = combine_view_costs(
-            rect_per_view_costs_batch(sc_s, sp, parity, n, d,
+        early = (cur is not None
+                 and getattr(params, "cull_early_term", False))
+        n_s, d_s = n, d
+        if early:
+            n_s = jnp.concatenate([n, cur[0][None]], axis=0)
+            d_s = jnp.concatenate([d, cur[1][None]], axis=0)
+        c_all = combine_view_costs(
+            rect_per_view_costs_batch(sc_s, sp, parity, n_s, d_s,
                                       m_pack="tri" if cpk else None,
                                       cost_pack=cpk), sp,
-            view_valid=sc_s.view_valid)                     # [K, H, W2]
+            view_valid=sc_s.view_valid)                     # [K(+1), H, W2]
+        c_s = c_all[:K]
         # Exclude depth-range-invalid candidates from the ranking so a
         # soon-to-be-rejected winner cannot shadow a valid runner-up
         # (the accept fold re-checks the range on the winner anyway).
@@ -935,13 +983,20 @@ def rect_multiview_cost_batch(scene: RectScene, params: AlgorithmParams,
             # letting one win the sparse screen would waste the full
             # evaluation on it and MAXCOST-mask the valid runners-up.
             in_range = in_range & cand_ok
-        kb = jnp.argmin(jnp.where(in_range, c_s, MAXCOST + 1.0),
-                        axis=0)                             # [H, W2]
+        c_msk = jnp.where(in_range, c_s, MAXCOST + 1.0)
+        kb = jnp.argmin(c_msk, axis=0)                      # [H, W2]
+        need_full = None
+        if early:
+            # Same-operator comparison: best candidate's sparse cost vs
+            # the CURRENT plane's sparse cost (candidate K+1 above).
+            slack = jnp.float32(getattr(params, "cull_early_slack", 0.05))
+            need_full = jnp.min(c_msk, axis=0) <= c_all[K] + slack
         n_sel = jnp.take_along_axis(n, kb[None, :, :, None],
                                     axis=0)                 # [1, H, W2, 3]
         d_sel = jnp.take_along_axis(d, kb[None], axis=0)    # [1, H, W2]
         c_f = combine_view_costs(
-            rect_per_view_costs_batch(scene, params, parity, n_sel, d_sel),
+            rect_per_view_costs_batch(scene, params, parity, n_sel, d_sel,
+                                      extra_mask=need_full),
             params, view_valid=scene.view_valid)            # [1, H, W2]
         return jnp.where(jnp.arange(K)[:, None, None] == kb[None], c_f,
                          jnp.float32(MAXCOST))

@@ -52,10 +52,11 @@ def view_sharded_cost_fn(axis_name: str = "view",
         return combine_view_costs(full, params, view_valid=vv)
 
     if rect:
-        def cost_fn_batch(scene, params, parity, n, d, cand_ok=None):
-            # cand_ok is part of the batch cost protocol (patchmatch.
-            # _fold_better); the sharded path runs no candidate culling,
-            # so it is unused here.
+        def cost_fn_batch(scene, params, parity, n, d, cand_ok=None,
+                          cur=None):
+            # cand_ok / cur are part of the batch cost protocol
+            # (patchmatch._fold_better); the sharded path runs no
+            # candidate culling, so they are unused here.
             local = rect_per_view_costs_batch(scene, params, parity, n, d)
             full = jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
             vv = jax.lax.all_gather(scene.view_valid, axis_name, axis=0,

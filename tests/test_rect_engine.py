@@ -356,3 +356,23 @@ def test_recovers_plane_cull_view_stride():
     frac_good = np.mean(err < 0.02)
     assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
                               f"median {np.median(err):.4f}")
+
+
+def test_recovers_plane_cull_early_term():
+    """config.cull_early_term: pixels whose best candidate does not beat
+    the current plane in the sparse operator skip the full pass via the
+    dynamic tile mask.  Quality-neutral by construction (a skip only
+    forgoes an acceptance that the sparse operator says would fail);
+    must hold the plane-recovery bar."""
+    images, rig, gt_depth, params, scene, _ = make_setup(
+        slant=(0.35, -0.25), rect_two_stage_cull=True, cull_view_stride=2,
+        cull_early_term=True)
+    key = jax.random.PRNGKey(params.seed)
+    state = run_patchmatch(scene, params, key, cost_fn=rect_multiview_cost)
+    depth, _, _ = map(np.asarray, finalize(state, scene))
+
+    interior = np.s_[10:-10, 10:-10]
+    err = np.abs(depth[interior] - gt_depth[interior]) / gt_depth[interior]
+    frac_good = np.mean(err < 0.02)
+    assert frac_good > 0.85, (f"only {frac_good:.2%} pixels within 2% depth; "
+                              f"median {np.median(err):.4f}")
