@@ -92,7 +92,14 @@ def main() -> int:
 
     assert len(jax.devices()) >= 8, "need 8 virtual devices"
 
+    # Shape override: GIPUMA_MC_SHAPE=240x320 runs a reduced (but still
+    # far-beyond-toy) dryrun when the full bench-shape CPU-mesh compile
+    # does not fit the session wall; the ICI volume model below is
+    # analytic and always reported at the FULL bench + DTU shapes.
     h, w, n_views = 480, 640, 7
+    shp = os.environ.get("GIPUMA_MC_SHAPE")
+    if shp:
+        h, w = (int(t) for t in shp.split("x"))
     images, rig, gt, _ = plane_scene(num_cams=n_views, h=h, w=w,
                                      focal=800.0, plane_depth=5.0,
                                      slant=(0.2, -0.1), texture="noise")
@@ -127,7 +134,7 @@ def main() -> int:
     # evaluation from the round-4 v5e breakdown: ~73 ms device kernel time
     # over ~54 stage-view evals => ~1.35 ms.
     K_prop, n_refine = 4, 2
-    model_bench = ici_volume_model(h, w, len(subset), K_prop, n_refine,
+    model_bench = ici_volume_model(480, 640, len(subset), K_prop, n_refine,
                                    8, 2, 4, prep.margin,
                                    bw_GBs=45.0, kernel_s_per_eval=1.35e-3)
     # DTU full-scale: 1600x1200, 9 views, 4 hosts (view axis over DCN is
